@@ -1,0 +1,275 @@
+"""Index build pipeline — the Spark-first analog of cantine's loader.
+
+Reference lifecycle (cantine/src/bin/load.rs:49-115): stdin JSON lines →
+4 producer threads tokenizing into an in-RAM tantivy segment → disk-writer
+thread appending the doc store → commit every 300k docs. Here the same
+stages are declarative DataFrame jobs; "commit" = a checkpointed stage with
+a lineage manifest (resumable — SURVEY §7.4 risk 6).
+
+Tables written under <index_dir>/ (parquet; Iceberg would add snapshot
+metadata but its jars are absent in this image — the layout keeps the same
+pruning properties via hash buckets + sorted row groups):
+
+  docs/        doc_id, uuid, repo, path, commit, lang, content, content_sha256
+               — the doc store (S5/S7). sha256 column carries the per-row
+               invariant from BASELINE input_hint.
+  docmeta/     doc_id + per-field doc lengths + numeric features (FIXTURES §2)
+               — the "fast fields" (tantivy FAST flag, index.rs:193,199-200):
+               parquet is already columnar, sort/filter/agg prune columns.
+  postings/    field, term, bucket, doc_id, tf, positions — the inverted index
+               (F1/F2 source). Written partitionBy(bucket) with
+               bucket = pmod(xxhash64(field, term), n_buckets) so a term
+               lookup prunes to one directory, then row-group min/max on the
+               sorted `term` column prunes within it.
+  term_stats/  field, term, bucket, df, cf — document/collection frequency
+               (A7); broadcast-joined at query time for idf.
+  index_stats/ one row per field: n_docs, total_len, avgdl (C1 inputs).
+  manifest.json  lineage + per-stage metrics.
+
+Skew (SURVEY §7.4 risk 3): hot terms (code keywords) concentrate rows in a
+few (field, term) keys. The groupBy key here is (field, term, doc_id) —
+fine-grained, so the build agg itself does not skew; the *write* is spread by
+salting the shuffle with doc_id before partitionBy, so no single task owns a
+hot bucket. Per-partition row metrics land in the manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cantine_spark.analysis import tokens_udf
+
+TEXT_FIELDS = ("content", "path")  # multi-field index (C6 analog of
+# cantine's name/ingredients/instructions, cantine/src/index.rs:195-197)
+N_BUCKETS = 64
+WRITE_SALT = 8
+
+
+def _stage_marker(path: str) -> str:
+    return os.path.join(path, "_STAGE_OK.json")
+
+
+def _stage_done(path: str, fingerprint: str) -> bool:
+    m = _stage_marker(path)
+    if not os.path.exists(m):
+        return False
+    try:
+        with open(m) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def _mark_stage(path: str, fingerprint: str, metrics: dict) -> None:
+    with open(_stage_marker(path), "w") as f:
+        json.dump({"fingerprint": fingerprint, "metrics": metrics,
+                   "completed_at": time.time()}, f, indent=2)
+
+
+def bucket_expr(field_col, term_col):
+    """Partition bucket for a (field, term) pair — must match query-side
+    computation in execution/executor.py so lookups prune directories."""
+    return F.pmod(F.xxhash64(field_col, term_col), F.lit(N_BUCKETS)).cast("int")
+
+
+@dataclass
+class IndexBuilder:
+    spark: SparkSession
+    index_dir: str
+    n_buckets: int = N_BUCKETS
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+
+    # ------------------------------------------------------------------ docs
+    def _docs_df(self, corpus: DataFrame) -> DataFrame:
+        # uuid: deterministic function of identity (reference stores a crawl
+        # uuid, model.rs:16; ours derives from (repo, path) so it is
+        # recomputable). doc store row = full record (S5).
+        return corpus.select(
+            "doc_id",
+            F.md5(F.concat_ws("/", "repo", "path")).alias("uuid"),
+            "repo", "path", "commit", "lang", "content",
+            F.sha2("content", 256).alias("content_sha256"),
+        )
+
+    # --------------------------------------------------------------- docmeta
+    def _docmeta_df(self, corpus: DataFrame) -> DataFrame:
+        """Numeric feature columns (FIXTURES §2) — all derived with built-in
+        JVM functions (no UDF): these are the engine's 'fast fields'.
+        Nullable features reproduce cantine's optional-feature semantics
+        (absent ⇒ excluded from range filters/aggs,
+        cantine_derive/internal/src/lib.rs:217-224)."""
+        lines = F.split(F.col("content"), "\n")
+        line_lens = F.transform(lines, lambda s: F.length(s))
+        c = corpus.select(
+            "doc_id", "repo", "path", "lang",
+            F.col("_content_tokens").alias("_ct"),
+            F.col("_path_tokens").alias("_pt"),
+            lines.alias("_lines"),
+            line_lens.alias("_ll"),
+            F.length("content").alias("content_bytes"),
+            F.octet_length("content").alias("content_octets"),
+        )
+        num_kw = F.size(F.filter(F.col("_ct"), lambda t: t.isin("def", "fn", "func")))
+        num_imp = F.size(F.filter(F.col("_ct"), lambda t: t.isin("import", "include", "use")))
+        return c.select(
+            "doc_id", "repo", "path", "lang",
+            F.size("_ct").cast("long").alias("doc_len_content"),
+            F.size("_pt").cast("long").alias("doc_len_path"),
+            F.size("_ct").cast("long").alias("num_tokens"),
+            F.size("_lines").cast("long").alias("num_lines"),
+            F.col("content_bytes").cast("long"),
+            F.when(F.col("lang") != "md", num_kw.cast("long")).alias("num_functions"),
+            F.when(F.col("lang") != "md", num_imp.cast("long")).alias("num_imports"),
+            F.when(F.col("lang") != "md",
+                   F.size(F.filter(F.col("_lines"), lambda s: s.startswith("#")))
+                   / F.greatest(F.size("_lines"), F.lit(1)).cast("double")
+                   ).alias("comment_ratio"),
+            (F.aggregate("_ll", F.lit(0).cast("long"), lambda a, x: a + x)
+             / F.greatest(F.size("_ll"), F.lit(1))).cast("double").alias("avg_line_len"),
+            F.array_max("_ll").cast("long").alias("max_line_len"),
+        )
+
+    # -------------------------------------------------------------- postings
+    def _postings_df(self, corpus: DataFrame) -> DataFrame:
+        """(field, term, doc_id, tf, positions) — one frame per text field,
+        unioned. posexplode keeps token positions for phrase queries (F2).
+        All heavy lifting is JVM-side after the single Arrow tokenizer pass."""
+        frames = []
+        for fld in TEXT_FIELDS:
+            toks = corpus.select(
+                "doc_id", F.col(f"_{fld}_tokens").alias("toks"),
+                # denormalized per-field doc length: BM25 at query time never
+                # joins docmeta (Lucene/tantivy norms do the same; one extra
+                # int per posting kills a doc-sized shuffle join per query)
+                F.size(F.col(f"_{fld}_tokens")).cast("int").alias("dl"))
+            exploded = toks.select(
+                "doc_id", "dl", F.posexplode("toks").alias("pos", "term"))
+            frames.append(
+                exploded.groupBy("doc_id", "term")
+                .agg(F.count("*").cast("int").alias("tf"),
+                     F.first("dl").alias("dl"),
+                     F.sort_array(F.collect_list("pos")).alias("positions"))
+                .select(F.lit(fld).alias("field"), "term", "doc_id",
+                        "tf", "dl", "positions"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.withColumn("bucket", bucket_expr(F.col("field"), F.col("term")))
+
+    # ----------------------------------------------------------------- build
+    def build(self, corpus_with_ids: DataFrame, force: bool = False) -> dict:
+        """Run all stages; each is independently resumable. `corpus_with_ids`
+        must carry doc_id (see corpus.with_doc_ids)."""
+        spark = self.spark
+        os.makedirs(self.index_dir, exist_ok=True)
+        n_docs = corpus_with_ids.count()
+        fingerprint = hashlib.sha256(
+            f"v1:{n_docs}:{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
+        ).hexdigest()[:16]
+        metrics: dict = {"n_docs": n_docs}
+
+        tokenized = corpus_with_ids
+        for fld in TEXT_FIELDS:
+            tokenized = tokenized.withColumn(f"_{fld}_tokens", tokens_udf(F.col(fld)))
+        # tokenize once, reuse across docmeta + postings stages
+        tokenized = tokenized.persist()
+
+        stages = {
+            "docs": lambda: self._docs_df(corpus_with_ids),
+            "docmeta": lambda: self._docmeta_df(tokenized),
+            "postings": lambda: self._postings_df(tokenized),
+        }
+        for name, make in stages.items():
+            path = os.path.join(self.index_dir, name)
+            if not force and _stage_done(path, fingerprint):
+                self.stages_skipped.append(name)
+                continue
+            t0 = time.time()
+            df = make()
+            if name == "postings":
+                # spread hot buckets across writer tasks (salt by doc_id),
+                # keep term-sorted row groups for min/max pruning
+                (df.repartition(max(self.n_buckets, spark.sparkContext.defaultParallelism),
+                                "bucket", F.pmod(F.col("doc_id"), F.lit(WRITE_SALT)))
+                   .sortWithinPartitions("field", "term", "doc_id")
+                   .write.mode("overwrite").partitionBy("bucket").parquet(path))
+            elif name == "docs":
+                df.repartitionByRange(
+                    max(4, spark.sparkContext.defaultParallelism), "doc_id"
+                ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
+            else:
+                df.repartitionByRange(4, "doc_id").sortWithinPartitions(
+                    "doc_id").write.mode("overwrite").parquet(path)
+            rows = spark.read.parquet(path).count()
+            stage_metrics = {"rows": rows, "seconds": round(time.time() - t0, 3)}
+            metrics[name] = stage_metrics
+            _mark_stage(path, fingerprint, stage_metrics)
+            self.stages_run.append(name)
+
+        # term_stats + index_stats derive from postings (cheap re-aggregations)
+        post = spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        ts_path = os.path.join(self.index_dir, "term_stats")
+        if force or not _stage_done(ts_path, fingerprint):
+            t0 = time.time()
+            (post.groupBy("field", "term", "bucket")
+                 .agg(F.count("*").cast("long").alias("df"),
+                      F.sum("tf").cast("long").alias("cf"))
+                 .repartition(8, "bucket").sortWithinPartitions("field", "term")
+                 .write.mode("overwrite").partitionBy("bucket").parquet(ts_path))
+            _mark_stage(ts_path, fingerprint,
+                        {"seconds": round(time.time() - t0, 3)})
+            self.stages_run.append("term_stats")
+        else:
+            self.stages_skipped.append("term_stats")
+
+        is_path = os.path.join(self.index_dir, "index_stats")
+        if force or not _stage_done(is_path, fingerprint):
+            dm = spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
+            # integer sum of doc lengths → avgdl is bit-deterministic
+            # regardless of partitioning (SURVEY §7.4 risk 1)
+            rows = []
+            for fld in TEXT_FIELDS:
+                agg = dm.agg(F.count("*").alias("n"),
+                             F.sum(f"doc_len_{fld}").alias("total")).collect()[0]
+                rows.append((fld, int(agg["n"]), int(agg["total"] or 0),
+                             float(agg["total"] or 0) / max(int(agg["n"]), 1)))
+            spark.createDataFrame(
+                rows, "field string, n_docs long, total_len long, avgdl double"
+            ).coalesce(1).write.mode("overwrite").parquet(is_path)
+            _mark_stage(is_path, fingerprint, {})
+            self.stages_run.append("index_stats")
+        else:
+            self.stages_skipped.append("index_stats")
+
+        tokenized.unpersist()
+        # per-partition metrics: rows per bucket (skew visibility)
+        bucket_rows = {int(r["bucket"]): int(r["cnt"]) for r in
+                       post.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+        manifest = {
+            "version": 1,
+            "fingerprint": fingerprint,
+            "n_docs": n_docs,
+            "text_fields": list(TEXT_FIELDS),
+            "n_buckets": self.n_buckets,
+            "stages_run": self.stages_run,
+            "stages_skipped": self.stages_skipped,
+            "metrics": metrics,
+            "postings_rows_per_bucket": bucket_rows,
+            "built_at": time.time(),
+        }
+        with open(os.path.join(self.index_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
+
+
+def build_index(spark: SparkSession, corpus_with_ids: DataFrame,
+                index_dir: str, force: bool = False) -> dict:
+    return IndexBuilder(spark, index_dir).build(corpus_with_ids, force=force)

@@ -1,0 +1,101 @@
+"""Index open / schema validation — analog of cantine's index open path
+(cantine/src/main.rs:218-219, RecipeIndex::try_from(&Schema) at
+cantine/src/index.rs:205-226): open the tables, assert the expected fields
+exist, expose cached collection statistics."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REQUIRED = {
+    "docs": {"doc_id", "uuid", "repo", "path", "commit", "lang",
+             "content", "content_sha256"},
+    "docmeta": {"doc_id", "doc_len_content", "doc_len_path", "num_lines",
+                "num_tokens", "content_bytes", "num_functions", "num_imports",
+                "comment_ratio", "avg_line_len", "max_line_len"},
+    "postings": {"field", "term", "bucket", "doc_id", "tf", "dl", "positions"},
+    "term_stats": {"field", "term", "bucket", "df", "cf"},
+    "index_stats": {"field", "n_docs", "total_len", "avgdl"},
+}
+
+# numeric feature columns exposed to filter/agg/sort (cantine's Features
+# struct members, model.rs:110-129 → generated range queries)
+FEATURES = ["num_lines", "num_tokens", "content_bytes", "num_functions",
+            "num_imports", "comment_ratio", "avg_line_len", "max_line_len",
+            "doc_len_content"]
+
+
+class SchemaMismatch(Exception):
+    pass
+
+
+@dataclass
+class IndexReader:
+    spark: SparkSession
+    index_dir: str
+
+    def table(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+        missing = REQUIRED[name] - set(df.columns)
+        if missing:
+            raise SchemaMismatch(f"{name} missing columns {sorted(missing)}")
+        return df
+
+    @cached_property
+    def docs(self) -> DataFrame:
+        return self.table("docs")
+
+    @cached_property
+    def docmeta(self) -> DataFrame:
+        return self.table("docmeta")
+
+    @cached_property
+    def postings(self) -> DataFrame:
+        return self.table("postings")
+
+    @cached_property
+    def term_stats(self) -> DataFrame:
+        return self.table("term_stats")
+
+    @cached_property
+    def stats(self) -> dict[str, dict]:
+        """Per-field {n_docs, avgdl} — cached once per reader, the analog of
+        cantine's startup /info computation (main.rs:174-189,245)."""
+        rows = self.table("index_stats").collect()
+        return {r["field"]: {"n_docs": int(r["n_docs"]),
+                             "total_len": int(r["total_len"]),
+                             "avgdl": float(r["avgdl"])} for r in rows}
+
+    @cached_property
+    def manifest(self) -> dict:
+        with open(os.path.join(self.index_dir, "manifest.json")) as f:
+            return json.load(f)
+
+    @property
+    def num_docs(self) -> int:
+        return next(iter(self.stats.values()))["n_docs"]
+
+    # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
+    #      cantine/src/database/readerwriter.rs:61-77). docs is written
+    #      range-partitioned + sorted by doc_id → parquet row-group pruning.
+    def find_by_id(self, doc_id: int):
+        rows = self.docs.filter(F.col("doc_id") == doc_id).limit(1).collect()
+        return rows[0] if rows else None
+
+    def find_by_uuid(self, uuid: str):
+        rows = self.docs.filter(F.col("uuid") == uuid).limit(1).collect()
+        return rows[0] if rows else None
+
+    def id_for_uuid(self, uuid: str) -> int | None:
+        row = self.find_by_uuid(uuid)
+        return int(row["doc_id"]) if row else None
+
+    def uuid_for_id(self, doc_id: int) -> str | None:
+        row = self.find_by_id(doc_id)
+        return row["uuid"] if row else None
