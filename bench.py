@@ -1,0 +1,116 @@
+"""Benchmark harness — index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "build+query wall", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "files_per_sec": ...,
+   "query_p50_ms": ..., "scaling": {...when SPARK_GRAFT_SCALING=1}}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1) — used to
+                       scale the synthetic corpus and for showcase queries
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  SPARK_GRAFT_BENCH_DOCS  corpus size (default 50000)
+  SPARK_GRAFT_SCALING  "1" → also run the build at local[N/4] vs local[N] and
+                       report throughput scaling efficiency (BASELINE.md
+                       target ≥ 0.8 from N to 4N)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    ("q_hot_term", {"fulltext": "def", "num_items": 10}),
+    ("q_rare_term", {"fulltext": "uniqterm00000042", "num_items": 10}),
+    ("q_multi_or", {"fulltext": "parse00001 merge00000 scan00003"}),
+    ("q_must_not", {"fulltext": "+def -import"}),
+    ("q_phrase", {"fulltext": '"permission is hereby granted"'}),
+    ("q_dismax_fielded", {"fulltext": "path:src def return"}),
+    ("q_filter_sort", {"fulltext": "def", "sort": "num_lines",
+                       "filter": {"num_lines": [10, 40]}}),
+    ("q_agg", {"fulltext": "def",
+               "agg": {"num_lines": [[0, 20], [20, 40], [40, 100]],
+                       "content_bytes": [[0, 2000], [2000, 100000]]}}),
+]
+
+
+def run_build_and_queries(cores: int, n_docs: int, repeats: int = 3):
+    from cantine_spark.api import SearchEngine
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.corpus import generate_corpus, with_doc_ids
+    from cantine_spark.index import IndexReader
+    from cantine_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    out = {}
+    idx_dir = tempfile.mkdtemp(prefix=f"bench_idx_{cores}_")
+    try:
+        t0 = time.time()
+        corpus = with_doc_ids(generate_corpus(spark, n_docs,
+                                              partitions=max(cores, 8)))
+        build_index(spark, corpus, idx_dir)
+        build_s = time.time() - t0
+        out["build_seconds"] = round(build_s, 3)
+        out["files_per_sec"] = round(n_docs / build_s, 1)
+
+        engine = SearchEngine(IndexReader(spark, idx_dir))
+        # warm JVM/code paths once
+        engine.search({"fulltext": "def", "num_items": 10})
+
+        lat: dict[str, list[float]] = {}
+        for _ in range(repeats):
+            for name, q in BENCH_QUERIES:
+                t = time.time()
+                engine.search(dict(q))
+                lat.setdefault(name, []).append(time.time() - t)
+        out["queries"] = {n: round(statistics.median(v), 3)
+                          for n, v in lat.items()}
+        out["query_p50_ms"] = round(
+            statistics.median([m for v in lat.values() for m in v]) * 1000, 1)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+    return out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = run_build_and_queries(CPUS, N_DOCS)
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        small = max(2, CPUS // 4)
+        low = run_build_and_queries(small, N_DOCS, repeats=1)
+        thr_n, thr_4n = low["files_per_sec"], result["files_per_sec"]
+        result["scaling"] = {
+            "cores_n": small, "cores_4n": CPUS,
+            "files_per_sec_n": thr_n, "files_per_sec_4n": thr_4n,
+            "efficiency": round((thr_4n / thr_n) / (CPUS / small), 3),
+        }
+
+    total = result["build_seconds"] + sum(result["queries"].values())
+    print(json.dumps({
+        "metric": "index-build + BM25 query suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": result["queries"],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": N_DOCS,
+        "build_seconds": result["build_seconds"],
+        "files_per_sec": result["files_per_sec"],
+        "query_p50_ms": result["query_p50_ms"],
+        **({"scaling": result["scaling"]} if "scaling" in result else {}),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,249 @@
+"""SearchQuery JSON surface + engine orchestration — the `/search` lifecycle.
+
+Mirrors cantine's public API (cantine/src/model.rs:188-200 for the query
+shape, cantine/src/main.rs:42-150 for the request lifecycle):
+
+  {"fulltext": "...", "num_items": 10, "filter": {feat: [lo, hi]},
+   "agg": {feat: [[lo, hi], ...]}, "sort": "relevance", "ascending": false,
+   "after": "<34-char cursor>"}
+
+Lifecycle (SURVEY §3.1): decode cursor (uuid → doc_id, 400-equivalent on
+unknown) → parse fulltext (DisMax, tiebreaker 0.1; field boosts) → AND range
+filters → ONE cached match frame → [total, visited] in one aggregation →
+pagination predicate → TakeOrdered top-k → broadcast hydration → next cursor
+→ range aggregations iff total ≤ agg_threshold (main.rs:137-147).
+"""
+
+from __future__ import annotations
+
+import binascii
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cantine_spark.aggregate import RangeStats, aggregate_ranges, range_filter
+from cantine_spark.cursor import (
+    TAG_F64, TAG_RELEVANCE, TAG_U64, InvalidCursor, SearchCursor,
+)
+from cantine_spark.execution.executor import SearchExecutor
+from cantine_spark.index import FEATURES, IndexReader
+from cantine_spark.plans.nodes import All, Boolean, QueryNode
+from cantine_spark.queryparser.parser import QueryParser
+
+MAX_ITEMS = 255          # u8 page cap (model.rs:192)
+DEFAULT_ITEMS = 10       # main.rs:124
+DISMAX_TIEBREAKER = 0.1  # main.rs:156
+FIELD_BOOSTS = {"path": 1.15, "content": 1.0}  # analog of name×1.15 (main.rs:229-233)
+FLOAT_FEATURES = {"comment_ratio", "avg_line_len"}  # cursor tag 2; rest tag 1
+
+_KNOWN_KEYS = {"fulltext", "num_items", "filter", "agg", "sort",
+               "ascending", "after"}
+
+
+class BadRequest(ValueError):
+    """The 400-response analog (unknown field, bad cursor, bad range)."""
+
+
+@dataclass
+class SearchQuery:
+    fulltext: str | None = None
+    num_items: int | None = None
+    filter: dict[str, list] | None = None
+    agg: dict[str, list[list]] | None = None
+    sort: str | None = None
+    ascending: bool = False
+    after: str | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> SearchQuery:
+        unknown = set(d) - _KNOWN_KEYS
+        if unknown:  # serde deny_unknown_fields (model.rs:189)
+            raise BadRequest(f"unknown fields: {sorted(unknown)}")
+        q = cls(**d)
+        if q.num_items is not None and not 1 <= q.num_items <= MAX_ITEMS:
+            raise BadRequest("num_items must be in 1..=255")
+        for name, rngs in [("filter", [v for v in (q.filter or {}).values()]),
+                           ("agg", [r for v in (q.agg or {}).values() for r in v])]:
+            for r in rngs:
+                if len(r) != 2:
+                    raise BadRequest(f"{name} ranges are [lo, hi] pairs")
+        for feat in list(q.filter or {}) + list(q.agg or {}):
+            if feat not in FEATURES:
+                raise BadRequest(f"unknown feature {feat!r}")
+        if q.sort is not None and q.sort != "relevance" and q.sort not in FEATURES:
+            raise BadRequest(f"unknown sort {q.sort!r}")
+        return q
+
+
+@dataclass
+class SearchResult:
+    items: list[dict]
+    total_found: int
+    next: str | None = None
+    agg: dict[str, list[RangeStats]] | None = None
+
+
+@dataclass
+class SearchEngine:
+    reader: IndexReader
+    agg_threshold: int | None = None  # None = ∞ (main.rs:193; prod 300k)
+    executor: SearchExecutor = dc_field(init=False)
+    parser: QueryParser = dc_field(init=False)
+
+    def __post_init__(self):
+        self.executor = SearchExecutor(self.reader)
+        self.parser = QueryParser(["content", "path"], boosts=FIELD_BOOSTS)
+
+    # ------------------------------------------------------------ interpret
+    def interpret(self, query: SearchQuery) -> tuple[QueryNode, list]:
+        """main.rs:152-172: fulltext (DisMax 0.1) + one range predicate per
+        filtered feature, all Must-composed."""
+        node: QueryNode | None = None
+        if query.fulltext and query.fulltext.strip():
+            node = self.parser.parse_dismax(query.fulltext, DISMAX_TIEBREAKER)
+        preds = []
+        for feat, (lo, hi) in (query.filter or {}).items():
+            preds.append(range_filter(feat, lo, hi))
+        if node is None:
+            node = All()
+        return node, preds
+
+    def _matched(self, node: QueryNode, preds: list) -> DataFrame | None:
+        """(doc_id, score) after fulltext matching AND range filters. Filters
+        are a broadcast-free semi join against docmeta only when needed; a
+        pure-filter query never touches postings at all."""
+        m = self.executor.matches(node)
+        if m is None:
+            return None
+        if preds:
+            cond = preds[0]
+            for p in preds[1:]:
+                cond = cond & p
+            filtered_ids = self.reader.docmeta.filter(cond).select("doc_id")
+            if isinstance(node, All):
+                m = filtered_ids.withColumn("score", F.lit(0.0).cast("float"))
+            else:
+                m = m.join(filtered_ids, "doc_id", "left_semi")
+        return m
+
+    # ----------------------------------------------------------- cursor I/O
+    def _decode_after(self, query: SearchQuery) -> tuple[float | int, int] | None:
+        """cursor → (ref_value, ref_doc_id); unknown uuid → BadRequest
+        (main.rs:53-76)."""
+        if not query.after:
+            return None
+        try:
+            cur = SearchCursor.decode(query.after)
+        except InvalidCursor as e:
+            raise BadRequest(str(e)) from e
+        expected = self._cursor_tag(query.sort)
+        if cur.tag != expected:
+            raise BadRequest("cursor does not match sort mode")
+        uuid_hex = binascii.hexlify(cur.uuid).decode()
+        doc_id = self.reader.id_for_uuid(uuid_hex)
+        if doc_id is None:
+            raise BadRequest("unknown uuid in cursor")
+        return cur.value, doc_id
+
+    @staticmethod
+    def _cursor_tag(sort: str | None) -> int:
+        if sort in (None, "relevance"):
+            return TAG_RELEVANCE
+        return TAG_F64 if sort in FLOAT_FEATURES else TAG_U64
+
+    def _encode_next(self, sort: str | None, value, uuid_hex: str) -> str:
+        uuid = binascii.unhexlify(uuid_hex)
+        tag = self._cursor_tag(sort)
+        if tag == TAG_RELEVANCE:
+            return SearchCursor.relevance(float(value), uuid).encode()
+        if tag == TAG_U64:
+            return SearchCursor.u64_field(int(value), uuid).encode()
+        return SearchCursor.f64_field(float(value), uuid).encode()
+
+    # ---------------------------------------------------------------- search
+    def search(self, query: SearchQuery | dict) -> SearchResult:
+        if isinstance(query, dict):
+            query = SearchQuery.from_dict(query)
+        k = query.num_items or DEFAULT_ITEMS
+        node, preds = self.interpret(query)
+        after = self._decode_after(query)
+
+        matched = self._matched(node, preds)
+        if matched is None:
+            return SearchResult(items=[], total_found=0)
+
+        sort = query.sort or "relevance"
+        ascending = query.ascending
+        if sort == "relevance":
+            ranked = matched.withColumn("sort_val", F.col("score"))
+        else:
+            # field sort: join the fast-field column; missing → 0, tantivy's
+            # val_if_missing fill for fast fields (SURVEY §2.5 T3)
+            meta = self.reader.docmeta.select("doc_id", F.col(sort).alias("_sv"))
+            ranked = matched.join(meta, "doc_id", "left").withColumn(
+                "sort_val", F.coalesce(F.col("_sv"), F.lit(0))).drop("_sv")
+
+        # pagination predicate (PaginationCondition::check, index.rs:286-295):
+        # include iff ref > val (desc) / ref < val (asc); ties → ref_id < doc_id
+        if after is not None:
+            ref_val, ref_id = after
+            v = F.col("sort_val")
+            if ascending:
+                cond = (v > F.lit(ref_val)) | (
+                    (v == F.lit(ref_val)) & (F.col("doc_id") > F.lit(ref_id)))
+            else:
+                cond = (v < F.lit(ref_val)) | (
+                    (v == F.lit(ref_val)) & (F.col("doc_id") > F.lit(ref_id)))
+            visible = ranked.filter(cond)
+        else:
+            visible = ranked
+
+        ranked = ranked.persist()
+        try:
+            # total & visited in ONE aggregation (A4, top_collector.rs:228-237)
+            if after is not None:
+                ref_val, ref_id = after
+                v = F.col("sort_val")
+                cnt_cond = ((v > ref_val) | ((v == ref_val) & (F.col("doc_id") > ref_id))
+                            ) if ascending else (
+                    (v < ref_val) | ((v == ref_val) & (F.col("doc_id") > ref_id)))
+                row = ranked.agg(
+                    F.count("*").alias("total"),
+                    F.count(F.when(cnt_cond, 1)).alias("visited")).collect()[0]
+            else:
+                row = ranked.agg(F.count("*").alias("total")).collect()[0]
+            total = int(row["total"])
+            visited = int(row["visited"]) if after is not None else total
+
+            topk = self.executor.top_k(
+                visible.select("doc_id", "score", "sort_val"), k,
+                sort_col="sort_val", ascending=ascending)
+            hydrated = self.executor.hydrate(topk).orderBy(
+                F.col("sort_val").asc() if ascending else F.col("sort_val").desc(),
+                F.col("doc_id").asc())
+            rows = hydrated.collect()
+            items = [{"doc_id": int(r["doc_id"]), "uuid": r["uuid"],
+                      "repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                      "score": float(r["score"]), "sort_val": r["sort_val"]}
+                     for r in rows]
+
+            next_cursor = None
+            if visited - len(items) > 0 and items:  # has_next (top_collector.rs:297-299)
+                last = items[-1]
+                next_cursor = self._encode_next(
+                    query.sort, last["sort_val"], last["uuid"])
+
+            agg = None
+            if query.agg and (self.agg_threshold is None
+                              or total <= self.agg_threshold):
+                matched_meta = self.reader.docmeta.join(
+                    ranked.select("doc_id"), "doc_id", "left_semi")
+                agg = aggregate_ranges(
+                    matched_meta, {k_: [tuple(r) for r in v]
+                                   for k_, v in query.agg.items()})
+            return SearchResult(items=items, total_found=total,
+                                next=next_cursor, agg=agg)
+        finally:
+            ranked.unpersist()

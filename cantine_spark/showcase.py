@@ -1,0 +1,462 @@
+"""Driver-facing showcase queries over /root/testdata tables, each paired
+with a DuckDB oracle SQL string (the driver's correctness gate).
+
+Each function here demonstrates one operator family from SURVEY.md §2 on the
+`documents` / `embeddings` / `events` tables, expressed in the same
+DataFrame algebra the real engine uses (cantine_spark/execution), plus the
+training-data-pipeline operators (dedup, similarity, text analysis).
+
+Numeric parity discipline:
+- tokenization: `regexp_extract_all(lower(text), '[a-z0-9]+')` on BOTH sides;
+- BM25 constants k1=1.2 b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)) — collection
+  stats (N, df, Σdl) are exact integers so avgdl is bit-deterministic;
+- every float score is ROUND(x, 5) in BOTH engines and the ORDER BY uses the
+  rounded value, so top-k tie sets agree across engines;
+- aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0).alias("toks"))
+
+
+def _collection_stats(spark, sf_dir: str, terms: list[str]) -> dict:
+    """Exact-integer collection stats → deterministic idf/avgdl."""
+    tok = _tokens(spark, sf_dir)
+    aggs = [F.count("*").alias("n"),
+            F.sum(F.size("toks")).alias("sum_dl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.count(
+            F.when(F.array_contains("toks", t), 1)).alias(f"df_{i}"))
+    row = tok.agg(*aggs).collect()[0]
+    n, sum_dl = int(row["n"]), int(row["sum_dl"])
+    return {"n": n, "avgdl": sum_dl / n,
+            "df": {t: int(row[f"df_{i}"]) for i, t in enumerate(terms)}}
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _tf_col(term: str):
+    return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+
+def _bm25_col(tf, dl, idf_val: float, avgdl: float):
+    tfd = tf.cast("double")
+    return F.lit(idf_val) * (tfd * (K1 + 1.0)) / (
+        tfd + K1 * (1.0 - B + B * dl.cast("double") / F.lit(avgdl)))
+
+
+_SQL_TOK = ("SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+            "FROM documents")
+
+_SQL_STATS = ("SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM tok")
+
+
+def _sql_bm25_expr(tf_expr: str, df_expr: str, dl="dl") -> str:
+    """BM25 with stats inlined from the stats CTE (n, sum_dl as columns)."""
+    idf = f"ln(1.0 + (s.n - {df_expr} + 0.5) / ({df_expr} + 0.5))"
+    return (f"{idf} * ({tf_expr} * 2.2) / "
+            f"({tf_expr} + 1.2 * (0.25 + 0.75 * {dl} / "
+            f"(CAST(s.sum_dl AS DOUBLE) / s.n)))")
+
+
+# ======================================================================
+# F1/C1/T1/T2: single-term BM25 top-k
+# ======================================================================
+
+def bm25_single_term(spark, sf_dir, term="spark", k=10) -> DataFrame:
+    st = _collection_stats(spark, sf_dir, [term])
+    if st["df"][term] == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tok = _tokens(spark, sf_dir)
+    scored = (tok.select(
+        "doc_id", _tf_col(term).alias("tf"), F.size("toks").alias("dl"))
+        .filter(F.col("tf") > 0)
+        .select("doc_id",
+                F.round(_bm25_col(F.col("tf"), F.col("dl"),
+                                  _idf(st["df"][term], st["n"]),
+                                  st["avgdl"]), 5).alias("score")))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_single_term_sql(term="spark", k=10) -> str:
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = '{term}')) AS tf
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df0
+  FROM base)
+SELECT b.doc_id,
+       ROUND({_sql_bm25_expr('b.tf', 's.df0', 'b.dl')}, 5) AS score
+FROM base b, stats s
+WHERE b.tf > 0
+ORDER BY score DESC, b.doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
+# J2/C1: multi-term OR (scores summed in fixed term order)
+# ======================================================================
+
+def bm25_multi_or(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
+    terms = list(terms)
+    st = _collection_stats(spark, sf_dir, terms)
+    tok = _tokens(spark, sf_dir)
+    dl = F.size("toks")
+    score = F.lit(0.0)
+    match = F.lit(False)
+    for t in terms:
+        if st["df"][t] == 0:
+            continue
+        tf = _tf_col(t)
+        score = score + F.when(
+            tf > 0, _bm25_col(tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])
+        ).otherwise(0.0)
+        match = match | (tf > 0)
+    return (tok.filter(match)
+            .select("doc_id", F.round(score, 5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_multi_or_sql(terms=("spark", "query", "join"), k=10) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    score_sum = " + ".join(
+        f"(CASE WHEN b.tf{i} > 0 THEN "
+        f"{_sql_bm25_expr(f'b.tf{i}', f's.df{i}', 'b.dl')} ELSE 0.0 END)"
+        for i in range(len(terms)))
+    match = " OR ".join(f"b.tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM base)
+SELECT b.doc_id, ROUND({score_sum}, 5) AS score
+FROM base b, stats s
+WHERE {match}
+ORDER BY score DESC, b.doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
+# J1/J4: must + must-not boolean (scored conjunction with exclusion)
+# ======================================================================
+
+def bm25_must_mustnot(spark, sf_dir, must=("table", "scan"),
+                      must_not="error", k=10) -> DataFrame:
+    terms = list(must)
+    st = _collection_stats(spark, sf_dir, terms)
+    tok = _tokens(spark, sf_dir)
+    dl = F.size("toks")
+    score = F.lit(0.0)
+    cond = F.lit(True)
+    for t in terms:
+        tf = _tf_col(t)
+        cond = cond & (tf > 0)
+        score = score + _bm25_col(tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])
+    cond = cond & (_tf_col(must_not) == 0)
+    return (tok.filter(cond)
+            .select("doc_id", F.round(score, 5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_must_mustnot_sql(must=("table", "scan"), must_not="error", k=10) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(must))
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(must)))
+    score_sum = " + ".join(
+        _sql_bm25_expr(f"b.tf{i}", f"s.df{i}", "b.dl")
+        for i in range(len(must)))
+    cond = " AND ".join(f"b.tf{i} > 0" for i in range(len(must)))
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols},
+         len(list_filter(toks, x -> x = '{must_not}')) AS tfn
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM base)
+SELECT b.doc_id, ROUND({score_sum}, 5) AS score
+FROM base b, stats s
+WHERE {cond} AND b.tfn = 0
+ORDER BY score DESC, b.doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
+# F2: phrase (bigram adjacency via normalized-join containment)
+# ======================================================================
+
+def phrase_match(spark, sf_dir, w1="fast", w2="table") -> DataFrame:
+    """Docs containing the exact token bigram; tf = occurrence count.
+    Adjacency on the space-joined token stream is equivalent to positional
+    adjacency for a bigram and is expressible in both engines."""
+    tok = _tokens(spark, sf_dir)
+    joined = F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" "))
+    needle = f" {w1} {w2} "
+    ptf = ((F.length(joined) - F.length(F.replace(joined, F.lit(needle),
+                                                  F.lit(" "))))
+           / (len(needle) - 1)).cast("long")
+    return (tok.select("doc_id", ptf.alias("phrase_tf"))
+            .filter(F.col("phrase_tf") > 0)
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id")))
+
+
+def phrase_match_sql(w1="fast", w2="table") -> str:
+    needle = f" {w1} {w2} "
+    n = len(needle) - 1
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+j AS (
+  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM tok)
+SELECT doc_id,
+       CAST((len(s) - len(replace(s, '{needle}', ' '))) / {n} AS BIGINT)
+         AS phrase_tf
+FROM j
+WHERE (len(s) - len(replace(s, '{needle}', ' '))) / {n} > 0
+ORDER BY phrase_tf DESC, doc_id ASC
+"""
+
+
+# ======================================================================
+# T3: top-k by field with doc_id tie-break
+# ======================================================================
+
+def topk_by_field(spark, sf_dir, k=20) -> DataFrame:
+    return (_docs(spark, sf_dir)
+            .select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(k))
+
+
+def topk_by_field_sql(k=20) -> str:
+    return (f"SELECT doc_id, n_chars FROM documents "
+            f"ORDER BY n_chars DESC, doc_id ASC LIMIT {k}")
+
+
+# ======================================================================
+# A1: range-bucket stats (half-open ranges, single pass)
+# ======================================================================
+
+RANGES = [(0, 200), (200, 400), (400, 800)]
+
+
+def range_stats(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    exprs = []
+    for i, (lo, hi) in enumerate(RANGES):
+        v = F.when((F.col("n_chars") >= lo) & (F.col("n_chars") < hi),
+                   F.col("n_chars"))
+        exprs += [F.min(v).alias(f"min_{i}"), F.max(v).alias(f"max_{i}"),
+                  F.count(v).alias(f"count_{i}")]
+    return d.agg(*exprs)
+
+
+def range_stats_sql() -> str:
+    cols = []
+    for i, (lo, hi) in enumerate(RANGES):
+        v = f"CASE WHEN n_chars >= {lo} AND n_chars < {hi} THEN n_chars END"
+        cols += [f"min({v}) AS min_{i}", f"max({v}) AS max_{i}",
+                 f"count({v}) AS count_{i}"]
+    return f"SELECT {', '.join(cols)} FROM documents"
+
+
+# ======================================================================
+# A7: document frequency per term (term_stats build step)
+# ======================================================================
+
+def doc_freq(spark, sf_dir, min_df=5) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    return (tok.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= min_df)
+            .orderBy(F.desc("df"), F.asc("term")))
+
+
+def doc_freq_sql(min_df=5) -> str:
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+t AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+SELECT term, count(*) AS df FROM t
+GROUP BY term HAVING count(*) >= {min_df}
+ORDER BY df DESC, term ASC
+"""
+
+
+# ======================================================================
+# dedup: exact (hash groupBy)
+# ======================================================================
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .filter(F.col("n_copies") > 1)
+            .orderBy(F.desc("n_copies"), F.asc("keep_doc_id")))
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+ORDER BY n_copies DESC, keep_doc_id ASC
+"""
+
+
+# ======================================================================
+# text analysis: token count + quality score
+# ======================================================================
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def text_quality(spark, sf_dir) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    total_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return tok.select(
+        "doc_id",
+        n_tok.cast("long").alias("num_tokens"),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 5)
+         .alias("stopword_ratio"),
+        F.round(total_len.cast("double") / F.greatest(n_tok, F.lit(1)), 5)
+         .alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH tok AS ({_SQL_TOK})
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS num_tokens,
+  ROUND(CAST(len(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE)
+        / greatest(len(toks), 1), 5) AS stopword_ratio,
+  ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        / greatest(len(toks), 1), 5) AS avg_token_len
+FROM tok ORDER BY doc_id
+"""
+
+
+# ======================================================================
+# similarity: brute-force cosine top-k over embeddings
+# ======================================================================
+
+def ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=10) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    qnorm = math.sqrt(sum(x * x for x in q))
+    qcol = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos = dot / (nrm * F.lit(qnorm))
+    return (emb.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.round(cos, 5).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k))
+
+
+def ann_cosine_topk_sql(query_vec_id=0, k=10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+  ROUND(
+    list_sum(list_transform(list_zip(e.embedding, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe,
+                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  5) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
+# events: tumbling-window aggregation (batch form)
+# ======================================================================
+
+def events_hourly(spark, sf_dir) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("hour", "event_type"))
+
+
+def events_hourly_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, ROUND(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES = {
+    "bm25_single_term": (bm25_single_term, bm25_single_term_sql()),
+    "bm25_multi_or": (bm25_multi_or, bm25_multi_or_sql()),
+    "bm25_must_mustnot": (bm25_must_mustnot, bm25_must_mustnot_sql()),
+    "phrase_match": (phrase_match, phrase_match_sql()),
+    "topk_by_field": (topk_by_field, topk_by_field_sql()),
+    "range_stats": (range_stats, range_stats_sql()),
+    "doc_freq": (doc_freq, doc_freq_sql()),
+    "dedup_exact": (dedup_exact, dedup_exact_sql()),
+    "text_quality": (text_quality, text_quality_sql()),
+    "ann_cosine_topk": (ann_cosine_topk, ann_cosine_topk_sql()),
+    "events_hourly": (events_hourly, events_hourly_sql()),
+}

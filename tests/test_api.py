@@ -1,0 +1,163 @@
+"""SearchEngine API — the reference's integration-suite invariants
+(cantine/tests/index_integration.rs + README.markdown:166-173) over our
+small built index."""
+
+from __future__ import annotations
+
+import pytest
+
+from cantine_spark.api import BadRequest, SearchEngine, SearchQuery
+
+PAGE = 10
+
+
+@pytest.fixture(scope="module")
+def engine(reader):
+    return SearchEngine(reader)
+
+
+@pytest.fixture(scope="module")
+def meta_pdf(reader):
+    return reader.docmeta.toPandas().set_index("doc_id", drop=False)
+
+
+def paginate(engine, base_query: dict):
+    """Follow `after` cursors to exhaustion; return all items in order."""
+    items, cursor, pages = [], None, 0
+    history = []
+    while True:
+        q = dict(base_query)
+        if cursor:
+            q["after"] = cursor
+        res = engine.search(q)
+        items.extend(res.items)
+        pages += 1
+        history.append((cursor, [it["doc_id"] for it in res.items]))
+        assert pages < 60, f"pagination did not terminate; last pages: {history[-4:]}"
+        if res.next is None:
+            return items, res.total_found
+        cursor = res.next
+
+
+# ---- exhaustive pagination visits every doc exactly once
+# (index_integration.rs:58-86)
+
+def test_pagination_relevance_exhaustive(engine, reader):
+    items, _ = paginate(engine, {"fulltext": "def", "num_items": PAGE})
+    ids = [it["doc_id"] for it in items]
+    assert len(ids) == len(set(ids)), "a doc was visited twice"
+    expected = engine.executor.matches(
+        engine.parser.parse_dismax("def", 0.1)).count()
+    assert len(ids) == expected
+    # page-to-page global order: score desc, doc_id asc on ties
+    for a, b in zip(items, items[1:]):
+        assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"]) or \
+            a["score"] > b["score"]
+
+
+@pytest.mark.parametrize("sort,asc", [
+    ("num_lines", False), ("num_lines", True),
+    ("content_bytes", False),
+    ("comment_ratio", False), ("comment_ratio", True),  # f64 + nullable
+    ("num_functions", True),                            # u64 + nullable
+])
+def test_pagination_field_sort_monotone(engine, meta_pdf, sort, asc):
+    """Sort-order invariant through pagination, checked against the docmeta
+    frame (the reference checks against an independent in-memory map,
+    index_integration.rs:129-289). Full-range filter = 'has the feature'."""
+    lo, hi = (0, 10**12) if sort not in ("comment_ratio", "avg_line_len") \
+        else (0.0, 1e12)
+    base = {"fulltext": "def", "num_items": PAGE, "sort": sort,
+            "ascending": asc, "filter": {sort: [lo, hi]}}
+    items, _ = paginate(engine, base)
+    ids = [it["doc_id"] for it in items]
+    assert len(ids) == len(set(ids))
+    vals = [meta_pdf.loc[d, sort] for d in ids]
+    assert all(v == v and v is not None for v in vals), "null leaked through filter"
+    for a, b in zip(vals, vals[1:]):
+        assert a >= b if not asc else a <= b
+
+
+# ---- agg bucket count == filtered search total (README.markdown:166-173)
+
+def test_agg_count_equals_filter_total(engine):
+    rng = [5, 40]
+    res = engine.search({"fulltext": "def", "agg": {"num_lines": [rng]}})
+    bucket = res.agg["num_lines"][0]
+    filtered = engine.search({"fulltext": "def", "filter": {"num_lines": rng}})
+    assert bucket.count == filtered.total_found
+    if bucket.count:
+        assert rng[0] <= bucket.min <= bucket.max < rng[1]
+
+
+def test_agg_empty_bucket_inverted_seed(engine):
+    res = engine.search({"fulltext": "def",
+                         "agg": {"num_lines": [[10**9, 2 * 10**9]]}})
+    b = res.agg["num_lines"][0]
+    # RangeStats seeds min=end, max=start (cantine_derive/src/lib.rs:62-73)
+    assert (b.count, b.min, b.max) == (0, 2 * 10**9, 10**9)
+
+
+def test_agg_threshold_gate(reader):
+    gated = SearchEngine(reader, agg_threshold=1)
+    res = gated.search({"fulltext": "def", "agg": {"num_lines": [[0, 100]]}})
+    assert res.agg is None  # skipped: total > threshold (main.rs:137-147)
+
+
+# ---- filter semantics
+
+def test_nullable_filter_excludes_nulls(engine, meta_pdf):
+    res = engine.search({"filter": {"num_functions": [0, 10**12]},
+                         "num_items": 255})
+    expected = int(meta_pdf["num_functions"].notna().sum())
+    assert res.total_found == expected
+
+
+def test_filter_only_query_matches_pandas(engine, meta_pdf):
+    lo, hi = 20, 35
+    res = engine.search({"filter": {"num_lines": [lo, hi]}})
+    expected = int(((meta_pdf["num_lines"] >= lo)
+                    & (meta_pdf["num_lines"] < hi)).sum())
+    assert res.total_found == expected
+
+
+def test_fulltext_plus_filter(engine, meta_pdf, oracle):
+    from cantine_spark.plans.nodes import Term
+    scores = oracle.evaluate(Term("content", "def")) or {}
+    lo, hi = 10, 30
+    expected = sum(1 for d in scores
+                   if lo <= meta_pdf.loc[d, "num_lines"] < hi)
+    res = engine.search({"fulltext": "def", "filter": {"num_lines": [lo, hi]}})
+    assert res.total_found == expected
+
+
+# ---- request validation (serde deny_unknown_fields analog)
+
+def test_unknown_field_rejected():
+    with pytest.raises(BadRequest):
+        SearchQuery.from_dict({"fulltxt": "oops"})
+
+
+def test_bad_num_items_rejected():
+    with pytest.raises(BadRequest):
+        SearchQuery.from_dict({"num_items": 0})
+    with pytest.raises(BadRequest):
+        SearchQuery.from_dict({"num_items": 256})
+
+
+def test_bad_cursor_rejected(engine):
+    with pytest.raises(BadRequest):
+        engine.search({"fulltext": "def", "after": "notacursor"})
+
+
+def test_cursor_sort_mismatch_rejected(engine):
+    first = engine.search({"fulltext": "def", "num_items": 2})
+    assert first.next is not None
+    with pytest.raises(BadRequest):
+        engine.search({"fulltext": "def", "sort": "num_lines",
+                       "after": first.next})
+
+
+def test_zero_hit_query(engine):
+    res = engine.search({"fulltext": "zzzznotfound99"})
+    assert res.total_found == 0 and res.items == [] and res.next is None
