@@ -28,4 +28,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from cantine_spark.showcase import QUERIES
-    return {name: sql for name, (_fn, sql) in QUERIES.items()}
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,134 @@
+"""SPIMI segment encoder — compressed, block-structured posting lists.
+
+The north-rule scale path: posting lists are delta+varint-encoded into
+≤128-posting blocks carrying block-max score metadata, stored as a parquet
+table (`segments/`). This is the analog of tantivy's immutable segment files
+(written via IndexWriter commits, cantine/src/bin/load.rs:89-100), built as
+one declarative Spark job:
+
+  postings → repartition(field, term, shard) → applyInPandas(encode) → parquet
+
+Layout decisions, each load-bearing at 10^12-doc scale:
+- **shard = doc_id // shard_span**: every query term's blocks for the same
+  doc range co-locate (groupBy shard), so query kernels parallelize over doc
+  ranges and merge per-shard top-k — exactly the reference's per-segment
+  collect + merge_fruits shape (tique top_collector.rs:168-195).
+- **hot-term skew dies here**: the build group key is (field, term, shard),
+  so a stopword-like term with billions of postings spreads over all doc
+  shards instead of hammering one task (SURVEY §7.4 risk 3).
+- **block-max metadata**: per block we store max over postings of the exact
+  BM25 tf-normalization tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl)). idf is
+  term-constant, so idf·max_tfnorm is a TRUE upper bound of any doc's
+  contribution in the block under our exact-length scoring — the lossless
+  block-max WAND invariant (SURVEY §7.4 risk 4).
+- postings inside a block are doc_id-sorted; doc gaps, tfs, and dls are
+  LEB128 varints (build/codec.py), all-numpy encode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cantine_spark.build.codec import encode_varint
+from cantine_spark.execution.scoring import B, K1
+
+BLOCK_SIZE = 128
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("block_id", T.IntegerType(), False),
+    T.StructField("n_docs", T.IntegerType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("last_doc", T.LongType(), False),
+    T.StructField("doc_deltas", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+    T.StructField("max_tfnorm", T.DoubleType(), False),
+])
+
+
+def _encode_group_blocks(field: str, term: str, shard: int,
+                         docs: np.ndarray, tfs: np.ndarray,
+                         dls: np.ndarray, avgdl: float) -> list[tuple]:
+    """One (field, term, shard) sub-list → block rows. Input arrays are
+    doc-sorted. Loop is per BLOCK (≤ n/128 + 1 iterations), numpy inside."""
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    tfd = tfs.astype(np.float64)
+    tfnorm = tfd * (K1 + 1.0) / (tfd + K1 * (1.0 - B + B * dls / avgdl))
+    rows = []
+    for b0 in range(0, len(docs), BLOCK_SIZE):
+        sl = slice(b0, b0 + BLOCK_SIZE)
+        d, t_, l_ = docs[sl], tfs[sl], dls[sl]
+        deltas = np.empty(len(d), dtype=np.uint64)
+        deltas[0] = d[0]
+        deltas[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        rows.append((
+            field, term, shard, b0 // BLOCK_SIZE, len(d),
+            int(d[0]), int(d[-1]),
+            encode_varint(deltas),
+            encode_varint(t_.astype(np.uint64)),
+            encode_varint(l_.astype(np.uint64)),
+            float(tfnorm[sl].max()),
+        ))
+    return rows
+
+
+def build_segments(spark: SparkSession, index_dir: str,
+                   shard_span: int | None = None) -> dict:
+    """Encode the postings table into the compressed segments table."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    n_docs = manifest["n_docs"]
+    parallelism = spark.sparkContext.defaultParallelism
+    span = shard_span or max(BLOCK_SIZE * 8, n_docs // (parallelism * 4) + 1)
+
+    stats_rows = spark.read.parquet(os.path.join(index_dir, "index_stats")).collect()
+    avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
+
+    keyed = postings.withColumn(
+        "shard", (F.col("doc_id") / F.lit(span)).cast("int"))
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        field, term, shard = key
+        rows = _encode_group_blocks(
+            field, term, int(shard),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            avgdl[field])
+        return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    out_path = os.path.join(index_dir, "segments")
+    t0 = time.time()
+    (keyed.groupBy("field", "term", "shard")
+          .applyInPandas(encode, SEGMENT_SCHEMA)
+          .repartition(max(8, parallelism), "shard")
+          .sortWithinPartitions("shard", "field", "term", "block_id")
+          .write.mode("overwrite").partitionBy("shard").parquet(out_path))
+    seconds = round(time.time() - t0, 3)
+
+    seg = spark.read.parquet(out_path)
+    n_blocks = seg.count()
+    meta = {"shard_span": span, "block_size": BLOCK_SIZE,
+            "n_blocks": n_blocks, "encode_seconds": seconds}
+    with open(os.path.join(out_path, "_SEGMENTS_META.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def load_segments_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "segments", "_SEGMENTS_META.json")) as f:
+        return json.load(f)

@@ -1,0 +1,144 @@
+"""TopTerms / more-like-this — port of tique's topterms module
+(tique/src/topterms.rs).
+
+Semantics pinned by the reference:
+- keyword score = tf_in_input · idf(df, N), idf = ln(1+(N−df+0.5)/(df+0.5))
+  (topterms.rs:77-81, 160-209);
+- top-limit keywords via descending top-k; KeywordAcceptor hook
+  (term, tf, df, N) → bool decides eligibility (topterms.rs:90-116), e.g.
+  check_sim uses df > 5 and len > 4 (cantine/src/bin/check_sim.rs:86-98);
+- into_query: each keyword becomes a Should TermQuery;
+  into_boosted_query(factor): boost = factor · score / max_score
+  (topterms.rs:213-241).
+
+The input text is driver-sized (one document), so extraction is a pandas
+value_counts plus ONE pruned term_stats lookup — no distributed work until
+the resulting query runs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+from cantine_spark.analysis import tokenize_text
+from cantine_spark.index import IndexReader
+from cantine_spark.plans.nodes import Boolean, Boost, QueryNode, Term
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+Acceptor = Callable[[str, int, int, int], bool]
+
+
+def default_acceptor(term: str, tf: int, df: int, n: int) -> bool:  # noqa: ARG001
+    return True
+
+
+def check_sim_acceptor(term: str, tf: int, df: int, n: int) -> bool:  # noqa: ARG001
+    """The filter the reference's similarity harness uses
+    (check_sim.rs:86-98): common-enough and long-enough terms only."""
+    return df > 5 and len(term) > 4
+
+
+@dataclass(frozen=True)
+class Keyword:
+    term: str
+    tf: int
+    score: float
+
+
+@dataclass
+class TopTerms:
+    reader: IndexReader
+    field: str = "content"
+
+    def extract(self, limit: int, text: str,
+                acceptor: Acceptor = default_acceptor) -> list[Keyword]:
+        tokens = tokenize_text(text)
+        if not tokens:
+            return []
+        tfs = Counter(tokens)
+        n = self.reader.stats[self.field]["n_docs"]
+        # one pruned scan for all candidate terms' dfs
+        from cantine_spark.execution.executor import SearchExecutor
+        dfs = SearchExecutor(self.reader).term_dfs(
+            {(self.field, t) for t in tfs})
+        kws = []
+        for t, tf in tfs.items():
+            df = dfs.get((self.field, t), 0)
+            if df == 0 or not acceptor(t, tf, df, n):
+                continue
+            kws.append(Keyword(t, tf, tf * _idf(df, n)))
+        # descending top-k; ties → lexicographically smaller term first
+        kws.sort(key=lambda k: (-k.score, k.term))
+        return kws[:limit]
+
+    def extract_from_doc(self, limit: int, doc_id: int,
+                         acceptor: Acceptor = default_acceptor) -> list[Keyword]:
+        row = self.reader.find_by_id(doc_id)
+        if row is None:
+            return []
+        return self.extract(limit, row[self.field] if self.field in row
+                            else row["content"], acceptor)
+
+
+def into_query(keywords: list[Keyword], field: str = "content") -> QueryNode:
+    """Plain more-like-this: Should over keyword terms (topterms.rs:213-227)."""
+    return Boolean(shoulds=tuple(Term(field, k.term) for k in keywords))
+
+
+def into_boosted_query(keywords: list[Keyword], boost_factor: float,
+                       field: str = "content") -> QueryNode:
+    """Boosted variant: per-term boost = factor · score/max_score
+    (topterms.rs:229-241)."""
+    if not keywords:
+        return Boolean()
+    max_score = max(k.score for k in keywords)
+    return Boolean(shoulds=tuple(
+        Boost(Term(field, k.term), boost_factor * k.score / max_score)
+        for k in keywords))
+
+
+def check_sim(reader: IndexReader, sample_doc_ids: list[int],
+              limit: int = 11, n_keywords: int = 20) -> list[dict]:
+    """Relevance regression harness — the check_sim binary analog
+    (cantine/src/bin/check_sim.rs:104-169): for each sampled doc, build
+    plain + boosted MLT queries from its own top keywords and report the
+    doc's self-rank and same-repo recall within the top `limit`."""
+    from cantine_spark.execution.executor import SearchExecutor
+    tt = TopTerms(reader)
+    ex = SearchExecutor(reader)
+    docs_pdf = (reader.docs.select("doc_id", "repo")
+                .toPandas().set_index("doc_id"))
+    repo_groups = docs_pdf.groupby("repo").groups
+    out = []
+    for doc_id in sample_doc_ids:
+        row = reader.find_by_id(doc_id)
+        if row is None:
+            continue
+        kws = tt.extract(n_keywords, row["content"], check_sim_acceptor)
+        rec = {"doc_id": doc_id, "n_keywords": len(kws)}
+        same_repo = set(repo_groups.get(row["repo"], [])) - {doc_id}
+        for name, q in [("plain", into_query(kws)),
+                        ("boosted", into_boosted_query(kws, 1.5))]:
+            m = ex.matches(q)
+            if m is None:
+                rec[f"{name}_self_rank"] = None
+                rec[f"{name}_recall"] = 0.0
+                continue
+            top = ex.top_k(m, limit).collect()
+            ids = [int(r["doc_id"]) for r in top]
+            rec[f"{name}_self_rank"] = (
+                ids.index(doc_id) if doc_id in ids else None)
+            rec[f"{name}_recall"] = (
+                len(set(ids) & same_repo) / len(same_repo)
+                if same_repo else None)
+        out.append(rec)
+    return out

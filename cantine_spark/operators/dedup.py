@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (cantine has no dedup), these are first-class
+engine operators over any (id, text) corpus. All are pure DataFrame algebra
++ built-in hash functions — no Python in the hot path except the vectorized
+signature UDFs, and every shuffle is on a bounded-cardinality key:
+
+- exact_duplicates     hash-groupBy on sha256(text); one shuffle on the hash.
+- minhash_lsh          shingle → 64 minhashes (xxhash64 with per-permutation
+                       seeds, JVM-side) → B bands × R rows → band-bucket join.
+                       Candidate pairs only compare within a bucket, so the
+                       quadratic blow-up is bounded by bucket size; verified
+                       with exact n-gram Jaccard before reporting.
+- simhash64            64-bit fingerprint from per-token hash bit votes;
+                       near-dups = Hamming distance ≤ t, found by the
+                       4-table-rotation trick (split into 4×16-bit keys,
+                       equi-join on any equal quarter — pigeonhole for t≤3).
+- embedding_near_dup   cosine ≥ τ via random-hyperplane LSH buckets
+                       (deterministic seeded planes) + exact verify.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "content") -> DataFrame:
+    """Groups of byte-identical texts: (content_sha, n_copies, doc_ids)."""
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.sha2(F.col(text_col), 256).alias("content_sha"))
+            .groupBy("content_sha")
+            .agg(F.count("*").alias("n_copies"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_copies") > 1))
+
+
+def dedup_exact_keep_first(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "content") -> DataFrame:
+    """Survivors: lowest id per identical-content group. Window-free
+    formulation — groupBy(min) + semi join keeps it a single shuffle."""
+    keep = (df.groupBy(F.sha2(F.col(text_col), 256).alias("_sha"))
+            .agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def shingles_col(tokens_col, n: int = 3):
+    """n-gram shingles from a token array, JVM-side: transform over indices."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+    return F.when(size >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                          for j in range(n)])
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signature(df: DataFrame, tokens_col: str, n_hashes: int = 64,
+                      shingle_n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Entirely JVM expressions: explode → groupBy id
+    with n_hashes min-aggregates (one shuffle keyed on id)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.array_distinct(
+                       shingles_col(tokens_col, shingle_n))).alias("shingle"))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    agged = sh.groupBy("doc_id").agg(*aggs)
+    return agged.select("doc_id", F.array(
+        *[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
+                           rows_per_band: int = 4) -> DataFrame:
+    """Candidate pairs (a < b) sharing ≥1 LSH band bucket. Self-join is on
+    (band, bucket) — each bucket is small, so the join is shuffle-bounded;
+    AQE splits any pathological bucket."""
+    assert bands * rows_per_band <= 64
+    band_rows = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)])
+            for b in range(bands)])).alias("band", "bucket"))
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame, tokens_col: str,
+                   shingle_n: int = 3, threshold: float = 0.7,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (a broadcast-sized frame in
+    practice): join shingle sets back, array_intersect/union math JVM-side."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.array_distinct(shingles_col(tokens_col, shingle_n))
+                   .alias("sh"))
+    out = (candidates
+           .join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha_")), "a")
+           .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb_")), "b"))
+    inter = F.size(F.array_intersect("sha_", "shb_"))
+    union = F.size(F.array_union("sha_", "shb_"))
+    return (out.select("a", "b",
+                       (inter / F.greatest(union, F.lit(1)).cast("double"))
+                       .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_dedup(df: DataFrame, tokens_col: str, id_col: str = "doc_id",
+                  threshold: float = 0.7) -> DataFrame:
+    """End-to-end near-dup pairs: minhash → LSH buckets → exact verify."""
+    sigs = minhash_signature(df, tokens_col, id_col=id_col)
+    cands = minhash_lsh_candidates(sigs)
+    return jaccard_verify(df, cands, tokens_col,
+                          threshold=threshold, id_col=id_col)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+@pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit simhash per token list — vectorized per batch: hash each token
+    (stable xxhash-free: use numpy's bit-mix of md5 would be slow; instead a
+    FNV-1a in numpy over fixed-width codes). Python loop is per ROW over a
+    small token list? No — per batch we flatten all tokens, hash vectorized,
+    then segment-sum bit votes."""
+    lengths = tokens.map(len).to_numpy()
+    if lengths.sum() == 0:
+        return pd.Series(np.zeros(len(tokens), dtype=np.int64))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tokens])
+    # stable 64-bit hash per token: python hashlib is per-row; instead use
+    # pandas' util hashing (stable, vectorized)
+    from pandas.util import hash_array
+    h = hash_array(flat.astype("U"), hash_key="cantine_simhash0")
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)          # (n_tokens, 64) in {0,1}
+    votes = bits * 2 - 1                 # {-1, +1}
+    seg = np.repeat(np.arange(len(tokens)), lengths)
+    acc = np.zeros((len(tokens), 64), dtype=np.int64)
+    np.add.at(acc, seg, votes)
+    out = (acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash(df: DataFrame, tokens_col: str, id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col).alias("doc_id"),
+                     _simhash64(F.col(tokens_col)).alias("simhash"))
+
+
+def simhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ t via the pigeonhole quarter-split:
+    with 4 16-bit quarters, any pair at distance ≤3 agrees on ≥1 quarter →
+    equi-join per quarter, union, exact popcount verify. Every join is an
+    equi-join on a 16-bit key — no cross join anywhere."""
+    q = hashes.select(
+        "doc_id", "simhash",
+        *[((F.shiftrightunsigned("simhash", 16 * i))
+           .bitwiseAND(F.lit(0xFFFF))).alias(f"q{i}") for i in range(4)])
+    pairs = None
+    for i in range(4):
+        l_ = q.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
+                      F.col(f"q{i}").alias("k"))
+        r_ = q.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
+                      F.col(f"q{i}").alias("k"))
+        p = l_.join(r_, "k").filter(F.col("a") < F.col("b")) \
+              .select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.distinct()
+            .select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------- embedding LSH
+
+
+def embedding_near_dups(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", dim: int = 64,
+                        n_planes: int = 16, bands: int = 4,
+                        threshold: float = 0.95, seed: int = 42) -> DataFrame:
+    """Cosine ≥ τ pairs: random-hyperplane sign sketch, banded like MinHash
+    LSH (a near-dup pair only needs ONE band of planes to agree, so a single
+    flipped bit can't lose it) → per-band bucket equi-join → exact cosine
+    verify on candidates. Planes are seeded → reproducible."""
+    assert n_planes % bands == 0
+    per_band = n_planes // bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    band_buckets = []
+    for b in range(bands):
+        sketch = None
+        for p in range(b * per_band, (b + 1) * per_band):
+            coeffs = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), coeffs,
+                           lambda a, c: a.cast("double") * c),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+            sketch = bit if sketch is None else sketch * 2 + bit
+        band_buckets.append(sketch.alias(f"bkt{b}"))
+    sk = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"),
+                    *band_buckets)
+    cand = None
+    for b in range(bands):
+        l_ = sk.select(F.col("vid").alias("a"), F.col("v").alias("va"),
+                       F.col(f"bkt{b}").alias("k"))
+        r_ = sk.select(F.col("vid").alias("b"), F.col("v").alias("vb"),
+                       F.col(f"bkt{b}").alias("k"))
+        p = (l_.join(r_, "k").filter(F.col("a") < F.col("b"))
+             .select("a", "b", "va", "vb"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["a", "b"])
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    return (cand.select("a", "b", (dot / (norm("va") * norm("vb")))
+                        .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

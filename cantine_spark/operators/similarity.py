@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k per query vector. Queries are a small
+  broadcast side; the corpus scan is one pass; per-query top-k via window
+  rank (per-partition heaps + merge under AQE).
+- ivf_topk: IVF-style scale path — deterministic k-means-lite centroids
+  (seeded, few Lloyd iterations computed ON the cluster), vectors assigned to
+  their nearest centroid at index time; queries probe the nprobe nearest
+  centroids only, cutting the scanned fraction to ~nprobe/nlist. Exactness
+  tested via recall vs brute force.
+
+Dot products are JVM-side (zip_with + aggregate in double); the only pandas
+UDF is the batched centroid assignment, which is one matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(_dot(c, c))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id", qvec_col: str = "query_vec",
+                     ) -> DataFrame:
+    """(query_id, vec_id, cosine, rank≤k) — exact. `queries` must be small
+    (broadcast): the join is a broadcast nested loop, one corpus pass total
+    for ALL queries."""
+    j = emb.join(F.broadcast(queries))
+    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
+        _norm(vec_col) * _norm(qvec_col))
+    scored = j.select(F.col(qid_col).alias("query_id"),
+                      F.col(id_col).alias("vec_id"), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def train_centroids(emb: DataFrame, nlist: int = 16, dim: int = 64,
+                    iters: int = 3, vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd iterations: seeded init, assignment distributed
+    (one pandas-UDF matmul pass per iter), centroid update on the driver
+    from per-cluster sums (bounded: nlist × dim doubles)."""
+    rng = np.random.default_rng(seed)
+    sample = np.array(
+        emb.select(vec_col).limit(max(nlist * 8, 256)).toPandas()[vec_col].tolist(),
+        dtype=np.float64)
+    cents = sample[rng.choice(len(sample), nlist, replace=False)]
+    for _ in range(iters):
+        assigned = assign_centroids(emb, cents, vec_col=vec_col)
+        sums = (assigned
+                .select("centroid", F.col(vec_col).alias("v"))
+                .groupBy("centroid")
+                .agg(F.count("*").alias("n"),
+                     F.array(*[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                               for i in range(dim)]).alias("vsum"))
+                ).collect()
+        new = cents.copy()
+        for r in sums:
+            c = int(r["centroid"])
+            new[c] = np.array(r["vsum"], dtype=np.float64) / int(r["n"])
+        cents = new
+    return cents
+
+
+def assign_centroids(emb: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Add `centroid` = argmax cosine(v, centroid) — one matmul per batch."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cn)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid", nearest(F.col(vec_col)))
+
+
+def ivf_topk(emb_assigned: DataFrame, centroids: np.ndarray,
+             queries: DataFrame, k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "query_vec",
+             ) -> DataFrame:
+    """ANN: per query, scan only the nprobe nearest centroid cells.
+    `emb_assigned` should be written partitioned by `centroid` so the cell
+    filter becomes partition pruning at scale."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qp = queries.toPandas()
+    qm = np.array(qp[qvec_col].tolist(), dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]
+    spark = emb_assigned.sparkSession
+    probe_rows = [(int(qp[qid_col][i]), [int(c) for c in probes[i]])
+                  for i in range(len(qp))]
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{qid_col} long, probe_cells array<int>")
+    q = queries.join(probe_df, qid_col)
+    j = emb_assigned.join(
+        F.broadcast(q),
+        F.array_contains(F.col("probe_cells"), F.col("centroid")))
+    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
+        _norm(vec_col) * _norm(qvec_col))
+    scored = j.select(F.col(qid_col).alias("query_id"),
+                      F.col(id_col).alias("vec_id"), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

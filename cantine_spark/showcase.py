@@ -444,19 +444,288 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 
 # ======================================================================
+# J3/C2: DisMax over two term queries
+# ======================================================================
+
+def bm25_dismax(spark, sf_dir, t1="spark", t2="stream",
+                tiebreaker=0.1, k=10) -> DataFrame:
+    st = _collection_stats(spark, sf_dir, [t1, t2])
+    tok = _tokens(spark, sf_dir)
+    dl = F.size("toks")
+    s = []
+    for t in (t1, t2):
+        tf = _tf_col(t)
+        s.append(F.when(tf > 0, _bm25_col(
+            tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])).otherwise(0.0))
+    mx = F.greatest(*s)
+    score = mx + (s[0] + s[1] - mx) * F.lit(tiebreaker)
+    return (tok.filter((_tf_col(t1) > 0) | (_tf_col(t2) > 0))
+            .select("doc_id", F.round(score, 5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def bm25_dismax_sql(t1="spark", t2="stream", tiebreaker=0.1, k=10) -> str:
+    s = [f"(CASE WHEN b.tf{i} > 0 THEN "
+         f"{_sql_bm25_expr(f'b.tf{i}', f's.df{i}', 'b.dl')} ELSE 0.0 END)"
+         for i in range(2)]
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = '{t1}')) AS tf0,
+         len(list_filter(toks, x -> x = '{t2}')) AS tf1
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base)
+SELECT b.doc_id,
+  ROUND(greatest({s[0]}, {s[1]})
+        + ({s[0]} + {s[1]} - greatest({s[0]}, {s[1]})) * {tiebreaker},
+        5) AS score
+FROM base b, stats s
+WHERE b.tf0 > 0 OR b.tf1 > 0
+ORDER BY score DESC, b.doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
+# T5: deep pagination (page 2 == OFFSET semantics under total order)
+# ======================================================================
+
+def topk_page2(spark, sf_dir, term="table", page=10) -> DataFrame:
+    full = bm25_single_term(spark, sf_dir, term, k=3 * page)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (full.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > page) & (F.col("rn") <= 2 * page))
+            .drop("rn"))
+
+
+def topk_page2_sql(term="table", page=10) -> str:
+    inner = bm25_single_term_sql(term, k=3 * page).strip().rstrip()
+    return (f"SELECT doc_id, score FROM ({inner}) "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {page} OFFSET {page}")
+
+
+# ======================================================================
+# dedup: MinHash-LSH near-duplicates (portable md5 minhash → identical
+# signatures/buckets/candidates in both engines; exact Jaccard verify)
+# ======================================================================
+
+N_MINHASH = 8
+LSH_BANDS = 4  # 2 rows per band
+SHINGLE_N = 3
+JACCARD_T = 0.5
+
+
+def _shingle_col(n=SHINGLE_N):
+    size = F.size("toks")
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(0)))
+    return F.array_distinct(F.when(size >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j + 1)
+                                          for j in range(n)])
+    )).otherwise(F.array(F.concat_ws(" ", F.col("toks")))))
+
+
+def minhash_near_dup(spark, sf_dir) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    sh = tok.select("doc_id", F.explode(_shingle_col()).alias("s"))
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(N_MINHASH)])
+    bands = mins.select("doc_id", *[
+        F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).alias(f"b{b}")
+        for b in range(LSH_BANDS)])
+    cand = None
+    for b in range(LSH_BANDS):
+        l_ = bands.select(F.col("doc_id").alias("a"), F.col(f"b{b}").alias("k"))
+        r_ = bands.select(F.col("doc_id").alias("b"), F.col(f"b{b}").alias("k"))
+        p = l_.join(r_, "k").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    shs = tok.select("doc_id", _shingle_col().alias("sh"))
+    j = (cand
+         .join(shs.select(F.col("doc_id").alias("a"),
+                          F.col("sh").alias("sa")), "a")
+         .join(shs.select(F.col("doc_id").alias("b"),
+                          F.col("sh").alias("sb")), "b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb"))
+    return (j.select("a", "b",
+                     F.round(inter / F.greatest(union, F.lit(1)), 5)
+                     .alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .orderBy("a", "b"))
+
+
+def minhash_near_dup_sql() -> str:
+    min_cols = ",\n    ".join(
+        f"min(md5(s || '#{i}')) AS m{i}" for i in range(N_MINHASH))
+    band_cols = ",\n    ".join(
+        f"m{2 * b} || m{2 * b + 1} AS b{b}" for b in range(LSH_BANDS))
+    cand_union = "\nUNION\n".join(
+        f"SELECT l.doc_id AS a, r.doc_id AS b FROM bands l JOIN bands r "
+        f"ON l.b{b} = r.b{b} AND l.doc_id < r.doc_id"
+        for b in range(LSH_BANDS))
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {SHINGLE_N}
+    THEN list_transform(range(1, len(toks) - {SHINGLE_N} + 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM tok),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mins AS (
+  SELECT doc_id,
+    {min_cols}
+  FROM exploded GROUP BY doc_id),
+bands AS (
+  SELECT doc_id,
+    {band_cols}
+  FROM mins),
+cand AS (
+{cand_union}
+),
+verified AS (
+  SELECT c.a, c.b,
+    ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(x.shingles, y.shingles))), 1),
+          5) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {JACCARD_T}
+ORDER BY a, b
+"""
+
+
+# ======================================================================
+# text analysis: language-ID heuristic (marker-word hit ratios, argmax)
+# ======================================================================
+
+LANG_MARKERS_SQL = {
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+}
+
+
+def lang_id(spark, sf_dir) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    n = F.greatest(F.size("toks"), F.lit(1)).cast("double")
+    scores = {}
+    for lang, markers in LANG_MARKERS_SQL.items():
+        m = tuple(markers)
+        scores[lang] = (F.size(F.filter("toks", (lambda mm: lambda x:
+                                                 x.isin(*mm))(m))) / n)
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # first-wins in declaration order, like the SQL CASE below
+    for lang in LANG_MARKERS_SQL:
+        pred = F.coalesce(pred, F.when(scores[lang] == best, F.lit(lang)))
+    return tok.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
+
+
+def lang_id_sql() -> str:
+    ratio = {
+        lang: (f"CAST(len(list_filter(toks, x -> x IN "
+               f"({', '.join(repr(m) for m in ms)}))) AS DOUBLE)"
+               f" / greatest(len(toks), 1)")
+        for lang, ms in LANG_MARKERS_SQL.items()}
+    best = f"greatest({', '.join(ratio.values())})"
+    case = " ".join(f"WHEN {r} = best THEN '{lang}'"
+                    for lang, r in ratio.items())
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+scored AS (SELECT doc_id, toks, {best} AS best FROM tok)
+SELECT doc_id, CASE {case} END AS pred_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+# ======================================================================
+# token stats: whitespace + BPE-ish subword counting
+# ======================================================================
+
+def token_counts(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    sub = F.size(F.regexp_extract_all(
+        t, F.lit(r"[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+"), 0))
+    return (d.select("doc_id", ws.cast("long").alias("ws_tokens"),
+                     sub.cast("long").alias("subword_tokens"))
+            .orderBy("doc_id"))
+
+
+def token_counts_sql() -> str:
+    return r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]+'))
+       AS BIGINT) AS subword_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ======================================================================
+# non-SQL-expressible entries (driver records rows-only checks):
+# simhash near-dups (bit-vote fingerprint) and IVF ANN (trained centroids)
+# ======================================================================
+
+def simhash_pairs(spark, sf_dir) -> DataFrame:
+    from cantine_spark.operators.dedup import simhash, simhash_near_dups
+    tok = _tokens(spark, sf_dir)
+    h = simhash(tok, "toks")
+    return simhash_near_dups(h, max_hamming=8).orderBy("a", "b")
+
+
+def ivf_ann(spark, sf_dir, k=10) -> DataFrame:
+    from cantine_spark.operators.similarity import (
+        assign_centroids, ivf_topk, train_centroids,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    cents = train_centroids(emb, nlist=8, dim=dim, iters=2)
+    assigned = assign_centroids(emb, cents)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return (ivf_topk(assigned, cents, q, k=k)
+            .select("query_id", "vec_id",
+                    F.round("cosine", 5).alias("cosine"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
 QUERIES = {
-    "bm25_single_term": (bm25_single_term, bm25_single_term_sql()),
-    "bm25_multi_or": (bm25_multi_or, bm25_multi_or_sql()),
-    "bm25_must_mustnot": (bm25_must_mustnot, bm25_must_mustnot_sql()),
-    "phrase_match": (phrase_match, phrase_match_sql()),
-    "topk_by_field": (topk_by_field, topk_by_field_sql()),
-    "range_stats": (range_stats, range_stats_sql()),
-    "doc_freq": (doc_freq, doc_freq_sql()),
+    # SURVEY §2 operator families (oracle-checked)
+    "bm25_single_term": (bm25_single_term, bm25_single_term_sql()),   # F1/C1/T1/T2
+    "bm25_multi_or": (bm25_multi_or, bm25_multi_or_sql()),            # J2
+    "bm25_must_mustnot": (bm25_must_mustnot, bm25_must_mustnot_sql()),  # J1/J4
+    "bm25_dismax": (bm25_dismax, bm25_dismax_sql()),                  # J3/C2
+    "phrase_match": (phrase_match, phrase_match_sql()),               # F2
+    "topk_by_field": (topk_by_field, topk_by_field_sql()),            # T3
+    "topk_page2": (topk_page2, topk_page2_sql()),                     # T5
+    "range_stats": (range_stats, range_stats_sql()),                  # A1/A3
+    "doc_freq": (doc_freq, doc_freq_sql()),                           # A7
+    # training-data pipeline operators (oracle-checked)
     "dedup_exact": (dedup_exact, dedup_exact_sql()),
+    "minhash_near_dup": (minhash_near_dup, minhash_near_dup_sql()),
     "text_quality": (text_quality, text_quality_sql()),
+    "lang_id": (lang_id, lang_id_sql()),
+    "token_counts": (token_counts, token_counts_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ann_cosine_topk_sql()),
     "events_hourly": (events_hourly, events_hourly_sql()),
+    # non-SQL-expressible (driver rows-only checks)
+    "simhash_pairs": (simhash_pairs, None),
+    "ivf_ann": (ivf_ann, None),
 }

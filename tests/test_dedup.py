@@ -1,0 +1,101 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, embedding LSH — verified
+against brute-force pandas ground truth on small corpora."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cantine_spark.operators.dedup import (
+    dedup_exact_keep_first, embedding_near_dups, exact_duplicates,
+    jaccard_verify, minhash_dedup, minhash_lsh_candidates,
+    minhash_signature, simhash, simhash_near_dups,
+)
+
+SENTS = [
+    "the quick brown fox jumps over the lazy dog and runs away fast",
+    "the quick brown fox jumps over the lazy dog and runs away quickly",  # near-dup of 0
+    "completely different text about spark query engines and indexes here",
+    "the quick brown fox jumps over the lazy dog and runs away fast",      # exact dup of 0
+    "another unrelated document mentioning inverted index compression now",
+    "completely different text about spark query engines and indexes too",  # near-dup of 2
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, s, s.split()) for i, s in enumerate(SENTS)]
+    return spark.createDataFrame(
+        rows, "doc_id long, content string, toks array<string>").cache()
+
+
+def brute_jaccard(a: list[str], b: list[str], n=3) -> float:
+    sa = {" ".join(a[i:i + n]) for i in range(max(len(a) - n + 1, 1))}
+    sb = {" ".join(b[i:i + n]) for i in range(max(len(b) - n + 1, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_duplicates(spark, docs):
+    groups = exact_duplicates(docs, text_col="content").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [0, 3]
+    kept = dedup_exact_keep_first(docs, text_col="content")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
+        [0, 1, 2, 4, 5]
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = {r["doc_id"]: r["sig"]
+            for r in minhash_signature(docs, "toks").collect()}
+    toks = {i: s.split() for i, s in enumerate(SENTS)}
+    for a, b in itertools.combinations(range(len(SENTS)), 2):
+        est = np.mean([x == y for x, y in zip(sigs[a], sigs[b])])
+        true = brute_jaccard(toks[a], toks[b])
+        assert abs(est - true) < 0.35, (a, b, est, true)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_dedup(docs, "toks", threshold=0.5).collect()}
+    assert (0, 3) in pairs          # exact dup always survives
+    assert (0, 1) in pairs          # near dup (1-token difference)
+    assert (2, 5) in pairs
+    assert all(not ((a in (2, 5) and b in (0, 1, 3, 4))) for a, b in pairs)
+
+
+def test_jaccard_verify_matches_bruteforce(spark, docs):
+    sigs = minhash_signature(docs, "toks")
+    cands = minhash_lsh_candidates(sigs)
+    verified = jaccard_verify(docs, cands, "toks", threshold=0.0).collect()
+    toks = {i: s.split() for i, s in enumerate(SENTS)}
+    for r in verified:
+        assert r["jaccard"] == pytest.approx(
+            brute_jaccard(toks[r["a"]], toks[r["b"]]), abs=1e-9)
+
+
+def test_simhash_near_dups(spark, docs):
+    h = simhash(docs, "toks")
+    vals = {r["doc_id"]: r["simhash"] for r in h.collect()}
+    assert vals[0] == vals[3]  # identical docs → identical simhash
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_dups(h, max_hamming=10).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert (0, 1) in pairs  # near-dup within small hamming distance
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 16))
+    base[3] = base[0] + rng.standard_normal(16) * 0.01   # near-dup of 0
+    base[5] = base[2] * 1.5                              # same direction as 2
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in
+             embedding_near_dups(emb, dim=16, n_planes=8,
+                                 threshold=0.98).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.99
+    assert (2, 5) in pairs and pairs[(2, 5)] > 0.999
+    assert all({a, b} in ({0, 3}, {2, 5}) for a, b in pairs)

@@ -1,0 +1,102 @@
+"""Segment merge + build resumability.
+
+- split-build-merge == single-shot build (posting-level equivalence);
+- merged segments still answer queries identically;
+- interrupted builds resume: completed stages are skipped, missing stages
+  re-run, outputs identical (SURVEY §7.4 risk 6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cantine_spark.build.builder import IndexBuilder, build_index
+from cantine_spark.build.merge import merge_segments, segments_to_postings
+from cantine_spark.build.segments import build_segments
+from cantine_spark.corpus import generate_corpus, with_doc_ids
+from cantine_spark.index import IndexReader
+
+N = 120
+SPAN = 40
+
+
+@pytest.fixture(scope="module")
+def split_env(spark, tmp_path_factory):
+    """Full build vs two half-builds (doc_ids 0..59 / 60..119) + merge."""
+    root = tmp_path_factory.mktemp("merge")
+    full_dir = str(root / "full")
+    corpus = with_doc_ids(generate_corpus(spark, N, partitions=4)).persist()
+    build_index(spark, corpus, full_dir)
+    build_segments(spark, full_dir, shard_span=SPAN)
+
+    halves = []
+    for i, cond in enumerate([F.col("doc_id") < N // 2,
+                              F.col("doc_id") >= N // 2]):
+        d = str(root / f"half{i}")
+        build_index(spark, corpus.filter(cond), d)
+        build_segments(spark, d, shard_span=SPAN)
+        halves.append(d)
+    corpus.unpersist()
+    return full_dir, halves, str(root / "merged_segments")
+
+
+def test_merge_equals_single_shot(spark, split_env):
+    full_dir, halves, out = split_env
+    # avgdl of the merged corpus == the full build's avgdl
+    full_reader = IndexReader(spark, full_dir)
+    avgdl = {f: s["avgdl"] for f, s in full_reader.stats.items()}
+    merge_segments(spark, [os.path.join(h, "segments") for h in halves],
+                   out, avgdl, SPAN)
+
+    merged = segments_to_postings(spark, out)
+    single = segments_to_postings(spark, os.path.join(full_dir, "segments"))
+    key = ["field", "term", "doc_id"]
+    diff = (merged.withColumnRenamed("tf", "tf_m").withColumnRenamed("dl", "dl_m")
+            .join(single, key, "full")
+            .filter(F.col("tf_m").isNull() | F.col("tf").isNull()
+                    | (F.col("tf_m") != F.col("tf"))
+                    | (F.col("dl_m") != F.col("dl"))))
+    assert diff.count() == 0
+    assert merged.count() == single.count()
+
+
+def test_merge_rejects_duplicate_doc_ids(spark, split_env):
+    full_dir, halves, _ = split_env
+    avgdl = {f: s["avgdl"]
+             for f, s in IndexReader(spark, full_dir).stats.items()}
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        merge_segments(spark,
+                       [os.path.join(halves[0], "segments"),
+                        os.path.join(halves[0], "segments")],
+                       "/tmp/merge_dup_out", avgdl, SPAN)
+
+
+def test_build_resume_skips_completed_stages(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("resume"))
+    corpus = with_doc_ids(generate_corpus(spark, 60, partitions=2)).persist()
+    b1 = IndexBuilder(spark, d)
+    b1.build(corpus)
+    assert set(b1.stages_run) >= {"docs", "docmeta", "postings"}
+
+    # rerun: everything skipped (fingerprints match)
+    b2 = IndexBuilder(spark, d)
+    b2.build(corpus)
+    assert b2.stages_run == []
+    assert set(b2.stages_skipped) >= {"docs", "docmeta", "postings",
+                                      "term_stats", "index_stats"}
+
+    # simulate a crash mid-build: postings stage marker lost → only that
+    # stage (and its derived stats) re-run; output identical
+    os.remove(os.path.join(d, "postings", "_STAGE_OK.json"))
+    before = (spark.read.parquet(os.path.join(d, "postings"))
+              .agg(F.sum(F.pmod(F.xxhash64("field", "term", "doc_id", "tf"), F.lit(2**31)))).collect()[0][0])
+    b3 = IndexBuilder(spark, d)
+    b3.build(corpus)
+    assert "postings" in b3.stages_run
+    assert "docs" in b3.stages_skipped
+    after = (spark.read.parquet(os.path.join(d, "postings"))
+             .agg(F.sum(F.pmod(F.xxhash64("field", "term", "doc_id", "tf"), F.lit(2**31)))).collect()[0][0])
+    assert before == after, "resumed build must reproduce identical postings"
+    corpus.unpersist()

@@ -34,7 +34,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
               .reset_index(drop=True))
 
 
-@pytest.mark.parametrize("name", list(entrymod.queries().keys()))
+@pytest.mark.parametrize("name", list(entrymod.oracle_sql().keys()))
 def test_query_matches_duckdb_oracle(spark, duck, name):
     fn = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
@@ -58,3 +58,9 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "doc_id" in df.columns and "score" in df.columns
+
+
+@pytest.mark.parametrize("name", ["simhash_pairs", "ivf_ann"])
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
