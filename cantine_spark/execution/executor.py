@@ -57,29 +57,40 @@ def _collect_terms(node: QueryNode, out: set[tuple[str, str]]) -> None:
 class SearchExecutor:
     reader: IndexReader
 
+    def __post_init__(self):
+        # term-dictionary cache: df per (field, term) is immutable for a
+        # built index — the analog of tantivy's in-memory term dict/fst
+        self._df_cache: dict[tuple[str, str], int] = {}
+
     # ------------------------------------------------------------ term stats
     def term_dfs(self, terms: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """Document frequency per query term. The query has a handful of
         terms; term_stats is bucket-partitioned + term-sorted, so this is a
         pruned metadata-sized scan, collected to the driver (the analog of
-        tantivy's term-dictionary lookup)."""
-        if not terms:
-            return {}
-        ts = self.reader.term_stats
-        cond = functools.reduce(
-            lambda a, b: a | b,
-            [(F.col("field") == f) & (F.col("term") == t) for f, t in terms])
-        buckets = {self._bucket(f, t) for f, t in terms}
-        rows = (ts.filter(F.col("bucket").isin(*buckets)).filter(cond)
-                  .select("field", "term", "df").collect())
-        found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        return {ft: found.get(ft, 0) for ft in terms}
+        tantivy's term-dictionary lookup). Results are cached per executor."""
+        missing = {ft for ft in terms if ft not in self._df_cache}
+        if missing:
+            ts = self.reader.term_stats
+            cond = functools.reduce(
+                lambda a, b: a | b,
+                [(F.col("field") == f) & (F.col("term") == t)
+                 for f, t in missing])
+            buckets = {self._bucket(f, t) for f, t in missing}
+            rows = (ts.filter(F.col("bucket").isin(*buckets)).filter(cond)
+                      .select("field", "term", "df").collect())
+            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for ft in missing:
+                self._df_cache[ft] = found.get(ft, 0)
+        return {ft: self._df_cache[ft] for ft in terms}
 
     @staticmethod
     def _bucket(field: str, term: str) -> int:
-        # mirror of build-side bucket_expr: xxhash64(field, term) % N_BUCKETS.
-        # computed lazily via Spark to guarantee hash parity (cached).
-        return _bucket_cached(field, term)
+        # mirror of build-side bucket_expr: xxhash64(field, term) % N_BUCKETS,
+        # computed driver-side with a bit-identical pure-Python XXH64
+        # (functions/xxhash.py, parity-tested) — zero Spark jobs per term.
+        from cantine_spark.build.builder import N_BUCKETS
+        from cantine_spark.functions.xxhash import bucket_of
+        return bucket_of(field, term, N_BUCKETS)
 
     # --------------------------------------------------------- postings scan
     def _postings_for(self, field: str, term: str) -> DataFrame:
@@ -241,15 +252,3 @@ class SearchExecutor:
         """J5: winners (≤255 rows) broadcast-joined into the doc store."""
         cols = columns or ["doc_id", "uuid", "repo", "path", "lang"]
         return F.broadcast(topk).join(self.reader.docs.select(*cols), "doc_id")
-
-
-@functools.lru_cache(maxsize=4096)
-def _bucket_cached(field: str, term: str) -> int:
-    """Query-side bucket computation. Uses xxhash64 via a 1-row Spark expr to
-    guarantee bit-parity with the build-side partitioning."""
-    from pyspark.sql import SparkSession  # noqa: PLC0415
-    spark = SparkSession.getActiveSession()
-    row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(field), F.lit(term)),
-               F.lit(64)).cast("int").alias("b")).collect()[0]
-    return int(row["b"])
