@@ -54,10 +54,17 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = 3):
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
     out = {}
     idx_dir = tempfile.mkdtemp(prefix=f"bench_idx_{cores}_")
+    corpus_dir = tempfile.mkdtemp(prefix=f"bench_corpus_{cores}_")
     try:
+        # datagen (not part of the measured build): the real input is an
+        # Iceberg/parquet table, so materialize the synthetic corpus first
         t0 = time.time()
-        corpus = with_doc_ids(generate_corpus(spark, n_docs,
-                                              partitions=max(cores, 8)))
+        (generate_corpus(spark, n_docs, partitions=max(cores, 8))
+         .write.mode("overwrite").parquet(corpus_dir))
+        out["datagen_seconds"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        corpus = with_doc_ids(spark.read.parquet(corpus_dir))
         build_index(spark, corpus, idx_dir)
         build_s = time.time() - t0
         out["build_seconds"] = round(build_s, 3)
@@ -79,6 +86,7 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = 3):
             statistics.median([m for v in lat.values() for m in v]) * 1000, 1)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
     return out
 

@@ -26,7 +26,7 @@ import re
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 MAX_TOKEN_LEN = 40  # tantivy LimitFilter default
@@ -51,3 +51,12 @@ def tokens_udf(texts: pd.Series) -> pd.Series:
 def tokens_col(content_col: str = "content"):
     """Column expression producing array<string> of analyzed tokens."""
     return tokens_udf(F.col(content_col))
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def unpack_positions(raw: pd.Series) -> pd.Series:
+    """Decode the packed little-endian-int32 positions blob back to
+    array<int> (only the phrase path pays this; postings store binary
+    because list<int> columns cost ~10× through Arrow/shuffle/parquet)."""
+    import numpy as np  # noqa: PLC0415
+    return raw.map(lambda b: np.frombuffer(b or b"", dtype="<i4"))

