@@ -91,18 +91,50 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = 3):
     return out
 
 
+def measure_build(cores: int, n_docs: int) -> float:
+    """Build-only throughput (files/sec) at a given parallelism."""
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.corpus import generate_corpus, with_doc_ids
+    from cantine_spark.session import get_spark
+
+    spark = get_spark(f"bench-scale-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    corpus_dir = tempfile.mkdtemp(prefix=f"scale_corpus_{cores}_")
+    idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+    try:
+        (generate_corpus(spark, n_docs, partitions=max(cores, 8))
+         .write.mode("overwrite").parquet(corpus_dir))
+        t0 = time.time()
+        build_index(spark, with_doc_ids(spark.read.parquet(corpus_dir)),
+                    idx_dir)
+        return n_docs / (time.time() - t0)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = run_build_and_queries(CPUS, N_DOCS)
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # This sandbox is a single 32-core VM shared with other tenants;
+        # single-shot timings vary ±2×. Methodology: best-of-2 per config
+        # with cool-downs between runs (documented in BASELINE.md).
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
         small = max(2, CPUS // 4)
-        low = run_build_and_queries(small, N_DOCS, repeats=1)
-        thr_n, thr_4n = low["files_per_sec"], result["files_per_sec"]
+        fps: dict[int, float] = {}
+        for cores in (small, CPUS):
+            best = 0.0
+            for _ in range(2):
+                time.sleep(30)
+                best = max(best, measure_build(cores, n_scale))
+            fps[cores] = round(best, 1)
         result["scaling"] = {
-            "cores_n": small, "cores_4n": CPUS,
-            "files_per_sec_n": thr_n, "files_per_sec_4n": thr_4n,
-            "efficiency": round((thr_4n / thr_n) / (CPUS / small), 3),
+            "cores_n": small, "cores_4n": CPUS, "n_docs": n_scale,
+            "files_per_sec_n": fps[small], "files_per_sec_4n": fps[CPUS],
+            "efficiency": round((fps[CPUS] / fps[small]) / (CPUS / small), 3),
         }
 
     total = result["build_seconds"] + sum(result["queries"].values())

@@ -41,8 +41,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.memory.fraction", "0.7")
+        # Pin + pre-touch the heap and use a non-uncommitting GC: G1's
+        # region commit/uncommit churn caused TLB-shootdown IPI storms at
+        # local[32] (70-90% system CPU, threads stuck in
+        # irqentry_exit_to_user_mode) — a 200k-doc build dropped from 262s
+        # to 47s with this alone.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS",
+                               "-Xms16g -XX:+AlwaysPreTouch -XX:+UseParallelGC"))
+        # direct task commits: no serial driver-side rename of hundreds of
+        # bucket files at job commit
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Reused python workers in this PySpark build degrade into a
         # kernel-time spin after their first UDF stage (measured: an
         # identical build ran 27s with reuse off vs 60-160s with reuse on at
