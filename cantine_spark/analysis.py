@@ -6,8 +6,9 @@ field at tique/src/queryparser/parser.rs:63 so index and query tokenize
 identically):
 
     1. split on non-alphanumeric characters (unicode),
-    2. lowercase,
-    3. drop tokens longer than 40 chars (LimitFilter).
+    2. drop tokens whose UTF-8 byte length is >= 40 (RemoveLongFilter —
+       runs BEFORE lowercasing, and the limit is in BYTES, not chars),
+    3. lowercase.
 
 Underscore is NOT alphanumeric in Rust's char::is_alphanumeric, so `foo_bar`
 tokenizes to ["foo", "bar"] — the regex [^\\W_]+ reproduces that exactly
@@ -29,23 +30,40 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
-MAX_TOKEN_LEN = 40  # tantivy LimitFilter default
+MAX_TOKEN_BYTES = 40  # tantivy RemoveLongFilter::limit(40): drops >= 40 BYTES
+
+
+def _tokens_faithful(text: str) -> list[str]:
+    """Exact tantivy order: split → byte-length filter → lowercase.
+    Only needed for non-ASCII text, where (a) char-len != byte-len and
+    (b) lowercasing may change byte length or even token boundaries."""
+    return [m.lower() for m in TOKEN_RE.findall(text)
+            if len(m.encode("utf-8")) < MAX_TOKEN_BYTES]
 
 
 def tokenize_text(text: str) -> list[str]:
     """Driver-side tokenizer for query strings (identical semantics to
     the index-side UDF — the invariant tique relies on at parser.rs:63)."""
-    return [t for t in (m.lower() for m in TOKEN_RE.findall(text))
-            if len(t) <= MAX_TOKEN_LEN]
+    if text.isascii():
+        return [t for t in TOKEN_RE.findall(text.lower())
+                if len(t) < MAX_TOKEN_BYTES]
+    return _tokens_faithful(text)
 
 
 @pandas_udf(ArrayType(StringType()))
 def tokens_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized tokenizer: lowercase → findall alphanumeric runs →
-    length filter. All ops are pandas str-kernel calls over the whole
-    Arrow batch; no Python-level per-row loop."""
+    """Vectorized tokenizer. ASCII fast path (the overwhelmingly common
+    case for code): lowercase + findall are whole-batch pandas str kernels,
+    and byte length == char length so the filter is a cheap len(). Non-ASCII
+    rows take the faithful slow path (_tokens_faithful)."""
     toks = texts.str.lower().str.findall(TOKEN_RE)
-    return toks.map(lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LEN])
+    out = [
+        [] if s is None
+        else ([t for t in ts if len(t) < MAX_TOKEN_BYTES] if s.isascii()
+              else _tokens_faithful(s))
+        for s, ts in zip(texts, toks)
+    ]
+    return pd.Series(out, index=texts.index)
 
 
 def tokens_col(content_col: str = "content"):

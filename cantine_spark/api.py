@@ -184,6 +184,9 @@ class SearchEngine:
             meta = self.reader.docmeta.select("doc_id", F.col(sort).alias("_sv"))
             ranked = matched.join(meta, "doc_id", "left").withColumn(
                 "sort_val", F.coalesce(F.col("_sv"), F.lit(0))).drop("_sv")
+        # persist BEFORE deriving `visible` so the top-k job reads the cached
+        # match frame instead of recomputing the full match lineage
+        ranked = ranked.persist()
 
         # pagination predicate (PaginationCondition::check, index.rs:286-295):
         # include iff ref > val (desc) / ref < val (asc); ties → ref_id < doc_id
@@ -200,7 +203,6 @@ class SearchEngine:
         else:
             visible = ranked
 
-        ranked = ranked.persist()
         try:
             # total & visited in ONE aggregation (A4, top_collector.rs:228-237)
             if after is not None:

@@ -92,10 +92,12 @@ class IndexBuilder:
     def _docs_df(self, corpus: DataFrame) -> DataFrame:
         # uuid: deterministic function of identity (reference stores a crawl
         # uuid, model.rs:16; ours derives from (repo, path) so it is
-        # recomputable). doc store row = full record (S5).
+        # recomputable). The separator is NUL — a '/' join is ambiguous
+        # (repo='a/b',path='c' vs repo='a',path='b/c') and NUL cannot appear
+        # in either component. doc store row = full record (S5).
         return corpus.select(
             "doc_id",
-            F.md5(F.concat_ws("/", "repo", "path")).alias("uuid"),
+            F.md5(F.concat_ws("\u0000", "repo", "path")).alias("uuid"),
             "repo", "path", "commit", "lang", "content",
             F.sha2("content", 256).alias("content_sha256"),
         )
@@ -235,25 +237,37 @@ class IndexBuilder:
         #    resumable checkpoint — at 100 TB an in-memory cache could never
         #    hold this anyway.
         tok_path = os.path.join(self.index_dir, "tokenized")
-        probe_fp = "probe"  # n_docs unknown before materialization
+        # Fingerprint the INPUT corpus, not the tokenized table: a stale
+        # marker must never silently reuse an index built from a different
+        # corpus. One cheap columnar aggregation (count + order-independent
+        # crc32 sum over identity columns + total content bytes) — collisions
+        # would need identical keys AND identical total content length.
+        fp_row = corpus_with_ids.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("\u0000", "repo", "path", "commit"))
+                  ).alias("keys_crc"),
+            F.sum(F.octet_length("content")).alias("content_bytes"),
+        ).collect()[0]
+        n_docs = int(fp_row["n"])
+        fingerprint = hashlib.sha256(
+            f"v2:{n_docs}:{fp_row['keys_crc']}:{fp_row['content_bytes']}:"
+            f"{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
+        ).hexdigest()[:16]
+        metrics: dict = {"n_docs": n_docs}
+
         tokenized_src = corpus_with_ids
         for fld in TEXT_FIELDS:
             tokenized_src = tokenized_src.withColumn(
                 f"_{fld}_tokens", tokens_udf(F.col(fld)))
-        if force or not os.path.exists(_stage_marker(tok_path)):
+        if force or not _stage_done(tok_path, fingerprint):
             t0 = time.time()
             tokenized_src.write.mode("overwrite").parquet(tok_path)
-            _mark_stage(tok_path, probe_fp,
+            _mark_stage(tok_path, fingerprint,
                         {"seconds": round(time.time() - t0, 3)})
             self.stages_run.append("tokenized")
         else:
             self.stages_skipped.append("tokenized")
         tokenized = spark.read.parquet(tok_path)
-        n_docs = tokenized.count()
-        fingerprint = hashlib.sha256(
-            f"v1:{n_docs}:{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
-        ).hexdigest()[:16]
-        metrics: dict = {"n_docs": n_docs}
 
         stages = {
             "docs": lambda: self._docs_df(tokenized.drop(
@@ -313,6 +327,28 @@ class IndexBuilder:
             self.stages_run.append("term_stats")
         else:
             self.stages_skipped.append("term_stats")
+
+        # uuid_map: the analog of the reference's in-memory uuid → id HashMap
+        # (cantine/src/database/readerwriter.rs:30-55). docs/ is partitioned
+        # by doc_id range, so a uuid lookup there scans everything; this side
+        # table is hash-bucketed by uuid → a cursor resolve reads ONE bucket
+        # directory (pruned by the driver-side pure-Python xxhash64).
+        um_path = os.path.join(self.index_dir, "uuid_map")
+        if force or not _stage_done(um_path, fingerprint):
+            t0 = time.time()
+            docs_df = spark.read.parquet(os.path.join(self.index_dir, "docs"))
+            (docs_df.select(
+                "uuid", "doc_id",
+                F.pmod(F.xxhash64("uuid"), F.lit(self.n_buckets))
+                 .cast("int").alias("ubucket"))
+             .repartition(self.n_buckets, "ubucket")
+             .sortWithinPartitions("ubucket", "uuid")
+             .write.mode("overwrite").partitionBy("ubucket").parquet(um_path))
+            _mark_stage(um_path, fingerprint,
+                        {"seconds": round(time.time() - t0, 3)})
+            self.stages_run.append("uuid_map")
+        else:
+            self.stages_skipped.append("uuid_map")
 
         is_path = os.path.join(self.index_dir, "index_stats")
         if force or not _stage_done(is_path, fingerprint):

@@ -22,6 +22,7 @@ REQUIRED = {
     "postings": {"field", "term", "bucket", "doc_id", "tf", "dl", "positions"},
     "term_stats": {"field", "term", "bucket", "df", "cf"},
     "index_stats": {"field", "n_docs", "total_len", "avgdl"},
+    "uuid_map": {"uuid", "doc_id", "ubucket"},
 }
 
 # numeric feature columns exposed to filter/agg/sort (cantine's Features
@@ -81,6 +82,10 @@ class IndexReader:
     def num_docs(self) -> int:
         return next(iter(self.stats.values()))["n_docs"]
 
+    @cached_property
+    def uuid_map(self) -> DataFrame:
+        return self.table("uuid_map")
+
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
     #      range-partitioned + sorted by doc_id → parquet row-group pruning.
@@ -89,12 +94,27 @@ class IndexReader:
         return rows[0] if rows else None
 
     def find_by_uuid(self, uuid: str):
-        rows = self.docs.filter(F.col("uuid") == uuid).limit(1).collect()
-        return rows[0] if rows else None
+        doc_id = self.id_for_uuid(uuid)
+        return None if doc_id is None else self.find_by_id(doc_id)
 
     def id_for_uuid(self, uuid: str) -> int | None:
-        row = self.find_by_uuid(uuid)
-        return int(row["doc_id"]) if row else None
+        """uuid → doc_id via the hash-bucketed uuid_map side table — the
+        analog of the reference's O(1) uuid HashMap (readerwriter.rs:30-55).
+        The bucket is computed driver-side (pure-Python xxhash64 parity with
+        the build-side Spark expression), so the scan reads ONE bucket
+        directory regardless of corpus size. Raises on duplicate uuids — a
+        cursor must never silently resume from the wrong doc."""
+        from cantine_spark.functions.xxhash import spark_xxhash64_strings
+        n_buckets = int(self.manifest.get("n_buckets", 64))
+        b = spark_xxhash64_strings(uuid) % n_buckets
+        rows = (self.uuid_map
+                .filter((F.col("ubucket") == b) & (F.col("uuid") == uuid))
+                .limit(2).collect())
+        if not rows:
+            return None
+        if len(rows) > 1:
+            raise ValueError(f"duplicate uuid {uuid!r} in doc store")
+        return int(rows[0]["doc_id"])
 
     def uuid_for_id(self, doc_id: int) -> str | None:
         row = self.find_by_id(doc_id)

@@ -50,13 +50,18 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def train_centroids(emb: DataFrame, nlist: int = 16, dim: int = 64,
                     iters: int = 3, vec_col: str = "embedding",
-                    seed: int = 42) -> np.ndarray:
+                    id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd iterations: seeded init, assignment distributed
     (one pandas-UDF matmul pass per iter), centroid update on the driver
-    from per-cluster sums (bounded: nlist × dim doubles)."""
+    from per-cluster sums (bounded: nlist × dim doubles).
+
+    The init sample is orderBy(id).limit(n): a bare .limit() is
+    partition-arrival-dependent, so 'seeded deterministic' would not hold
+    across cluster layouts."""
     rng = np.random.default_rng(seed)
     sample = np.array(
-        emb.select(vec_col).limit(max(nlist * 8, 256)).toPandas()[vec_col].tolist(),
+        emb.select(id_col, vec_col).orderBy(id_col)
+           .limit(max(nlist * 8, 256)).toPandas()[vec_col].tolist(),
         dtype=np.float64)
     cents = sample[rng.choice(len(sample), nlist, replace=False)]
     for _ in range(iters):

@@ -115,6 +115,13 @@ class StreamingIndexer:
                 max(4, spark.sparkContext.defaultParallelism), "doc_id")
              .sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(os.path.join(out, name)))
+        docs_u = spark.read.parquet(os.path.join(out, "docs"))
+        (docs_u.select(
+            "uuid", "doc_id",
+            F.pmod(F.xxhash64("uuid"), F.lit(64)).cast("int").alias("ubucket"))
+         .repartition(64, "ubucket").sortWithinPartitions("ubucket", "uuid")
+         .write.mode("overwrite").partitionBy("ubucket")
+         .parquet(os.path.join(out, "uuid_map")))
         (_union("postings").repartition(64, "bucket")
          .sortWithinPartitions("bucket", "field", "term", "doc_id")
          .write.mode("overwrite").partitionBy("bucket")
