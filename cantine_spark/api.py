@@ -28,6 +28,7 @@ from cantine_spark.cursor import (
     TAG_F64, TAG_RELEVANCE, TAG_U64, InvalidCursor, SearchCursor,
 )
 from cantine_spark.execution.executor import SearchExecutor
+from cantine_spark.execution.wand import FastTopK, segment_eligible
 from cantine_spark.index import FEATURES, IndexReader
 from cantine_spark.plans.nodes import All, Boolean, QueryNode
 from cantine_spark.queryparser.parser import QueryParser
@@ -95,6 +96,9 @@ class SearchEngine:
     def __post_init__(self):
         self.executor = SearchExecutor(self.reader)
         self.parser = QueryParser(["content", "path"], boosts=FIELD_BOOSTS)
+        self._fast: FastTopK | None = (
+            FastTopK(self.reader, executor=self.executor)
+            if self.reader.has_segments else None)
 
     # ------------------------------------------------------------ interpret
     def interpret(self, query: SearchQuery) -> tuple[QueryNode, list]:
@@ -162,6 +166,36 @@ class SearchEngine:
             return SearchCursor.u64_field(int(value), uuid).encode()
         return SearchCursor.f64_field(float(value), uuid).encode()
 
+    # ------------------------------------------------------- segment search
+    def _search_segments(self, node: QueryNode, k: int,
+                         after: tuple | None,
+                         query: SearchQuery) -> SearchResult:
+        """Relevance search on the block-max kernel: one applyInPandas job
+        for candidates+prune+heap, one broadcast hydration for the ≤255
+        winners. total/visited are exact (kernel counts from doc ids)."""
+        res = self._fast.search(node, k=k, after=after,
+                                ascending=query.ascending)
+        items: list[dict] = []
+        if res.hits:
+            hits_df = self.reader.spark.createDataFrame(
+                [(int(d), float(s)) for d, s in res.hits],
+                "doc_id long, score float")
+            order = (F.col("score").asc() if query.ascending
+                     else F.col("score").desc())
+            rows = (self.executor.hydrate(hits_df)
+                    .orderBy(order, F.col("doc_id").asc()).collect())
+            items = [{"doc_id": int(r["doc_id"]), "uuid": r["uuid"],
+                      "repo": r["repo"], "path": r["path"], "lang": r["lang"],
+                      "score": float(r["score"]),
+                      "sort_val": float(r["score"])} for r in rows]
+        next_cursor = None
+        if res.visited - len(items) > 0 and items:
+            last = items[-1]
+            next_cursor = self._encode_next(
+                query.sort, last["sort_val"], last["uuid"])
+        return SearchResult(items=items, total_found=res.total,
+                            next=next_cursor)
+
     # ---------------------------------------------------------------- search
     def search(self, query: SearchQuery | dict) -> SearchResult:
         if isinstance(query, dict):
@@ -169,6 +203,17 @@ class SearchEngine:
         k = query.num_items or DEFAULT_ITEMS
         node, preds = self.interpret(query)
         after = self._decode_after(query)
+
+        # DEFAULT PATH: relevance queries over pure term/phrase trees run on
+        # the compressed block-max segments (the reference's searcher IS its
+        # segment reader, cantine/src/index.rs:69-129). The relational
+        # postings path remains for field sorts, range filters, aggregations
+        # and match-all/pure-negative trees.
+        if (self._fast is not None
+                and (query.sort in (None, "relevance"))
+                and not preds and not query.agg
+                and segment_eligible(node)):
+            return self._search_segments(node, k, after, query)
 
         matched = self._matched(node, preds)
         if matched is None:

@@ -369,6 +369,19 @@ class IndexBuilder:
         else:
             self.stages_skipped.append("index_stats")
 
+        # segments: the compressed block-max format — the engine's DEFAULT
+        # query path (the row-per-posting postings/ table remains the
+        # build intermediate + relational-fallback source)
+        from cantine_spark.build.segments import build_segments
+        seg_path = os.path.join(self.index_dir, "segments")
+        if force or not _stage_done(seg_path, fingerprint):
+            seg_meta = build_segments(spark, self.index_dir, n_docs=n_docs)
+            metrics["segments"] = seg_meta
+            _mark_stage(seg_path, fingerprint, seg_meta)
+            self.stages_run.append("segments")
+        else:
+            self.stages_skipped.append("segments")
+
         # per-partition metrics: rows per bucket (skew visibility)
         bucket_rows = {int(r["bucket"]): int(r["cnt"]) for r in
                        post.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}

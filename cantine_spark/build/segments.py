@@ -23,6 +23,9 @@ Layout decisions, each load-bearing at 10^12-doc scale:
   block-max WAND invariant (SURVEY §7.4 risk 4).
 - postings inside a block are doc_id-sorted; doc gaps, tfs, and dls are
   LEB128 varints (build/codec.py), all-numpy encode.
+- **positions travel with the block** (concatenated little-endian int32,
+  per-posting lengths = the tfs array), so phrase queries run entirely in
+  the segment kernel — no row-per-posting table in the hot path.
 """
 
 from __future__ import annotations
@@ -54,17 +57,25 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("doc_deltas", T.BinaryType(), False),
     T.StructField("tfs", T.BinaryType(), False),
     T.StructField("dls", T.BinaryType(), False),
+    T.StructField("positions", T.BinaryType(), False),
     T.StructField("max_tfnorm", T.DoubleType(), False),
 ])
 
 
 def _encode_group_blocks(field: str, term: str, shard: int,
                          docs: np.ndarray, tfs: np.ndarray,
-                         dls: np.ndarray, avgdl: float) -> list[tuple]:
+                         dls: np.ndarray, avgdl: float,
+                         positions: list | None = None) -> list[tuple]:
     """One (field, term, shard) sub-list → block rows. Input arrays are
-    doc-sorted. Loop is per BLOCK (≤ n/128 + 1 iterations), numpy inside."""
+    doc-sorted. Loop is per BLOCK (≤ n/128 + 1 iterations), numpy inside.
+    `positions` is a sequence of bytes (packed <i4 per posting, len = 4·tf),
+    aligned with docs; None → empty blobs (position-less index)."""
     order = np.argsort(docs, kind="stable")
     docs, tfs, dls = docs[order], tfs[order], dls[order]
+    if positions is not None:
+        pos = np.asarray(positions, dtype=object)[order]
+    else:
+        pos = None
     tfd = tfs.astype(np.float64)
     tfnorm = tfd * (K1 + 1.0) / (tfd + K1 * (1.0 - B + B * dls / avgdl))
     rows = []
@@ -80,18 +91,20 @@ def _encode_group_blocks(field: str, term: str, shard: int,
             encode_varint(deltas),
             encode_varint(t_.astype(np.uint64)),
             encode_varint(l_.astype(np.uint64)),
+            b"" if pos is None else b"".join(pos[sl]),
             float(tfnorm[sl].max()),
         ))
     return rows
 
 
 def build_segments(spark: SparkSession, index_dir: str,
-                   shard_span: int | None = None) -> dict:
+                   shard_span: int | None = None,
+                   n_docs: int | None = None) -> dict:
     """Encode the postings table into the compressed segments table."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        manifest = json.load(f)
-    n_docs = manifest["n_docs"]
+    if n_docs is None:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            n_docs = json.load(f)["n_docs"]
     parallelism = spark.sparkContext.defaultParallelism
     span = shard_span or max(BLOCK_SIZE * 8, n_docs // (parallelism * 4) + 1)
 
@@ -108,7 +121,8 @@ def build_segments(spark: SparkSession, index_dir: str,
             pdf["doc_id"].to_numpy(np.int64),
             pdf["tf"].to_numpy(np.int64),
             pdf["dl"].to_numpy(np.int64),
-            avgdl[field])
+            avgdl[field],
+            positions=pdf["positions"].tolist())
         return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     out_path = os.path.join(index_dir, "segments")
@@ -122,7 +136,7 @@ def build_segments(spark: SparkSession, index_dir: str,
 
     seg = spark.read.parquet(out_path)
     n_blocks = seg.count()
-    meta = {"shard_span": span, "block_size": BLOCK_SIZE,
+    meta = {"format": 2, "shard_span": span, "block_size": BLOCK_SIZE,
             "n_blocks": n_blocks, "encode_seconds": seconds}
     with open(os.path.join(out_path, "_SEGMENTS_META.json"), "w") as f:
         json.dump(meta, f, indent=2)

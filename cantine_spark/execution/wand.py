@@ -1,4 +1,5 @@
-"""Segment query kernels — block-max-pruned top-k over compressed segments.
+"""Segment query kernel — block-max-pruned top-k over compressed segments,
+for the FULL query algebra (Term / Phrase / Boolean / DisMax / Boost).
 
 tantivy 0.16 has no WAND (its collector visits every match,
 tique/src/conditional_collector/top_collector.rs:228-237); the north rule
@@ -7,27 +8,44 @@ so it lives inside an applyInPandas kernel (SURVEY §4 O10) — Spark still owns
 partitioning, scan pruning, and the final k-way merge:
 
   segments (parquet, partitioned by doc-range shard)
-    → filter on (field, term)              [row-group pruned scan]
-    → groupBy(shard).applyInPandas(kernel) [per-shard decode + prune + heap]
-    → global TakeOrdered(k)                [the merge_fruits analog]
+    → filter on (field, term) set            [row-group pruned scan]
+    → groupBy(shard).applyInPandas(kernel)   [per-shard candidates + prune + heap]
+    → global TakeOrdered(k)                  [the merge_fruits analog]
 
-Per shard the kernel is all-numpy:
-- single term: blocks sorted by upper bound (idf · block max_tfnorm) desc;
-  decoding stops once k docs are held and the next bound cannot beat the
-  current kth score even after float32 rounding (lossless by construction —
-  proven by the pruned-vs-unpruned equality suite in tests/test_wand.py).
-  The matched count still comes exact from block metadata (Σ n_docs).
-- OR: decode all candidate blocks, one np.add.at accumulation in sorted term
-  order (deterministic summation), local top-k.
-- AND: sorted-array zipper intersection (searchsorted) with score sums.
+Per shard the kernel is all-numpy, two-phase:
 
-Scores are float64 in-kernel, cast to float32 at the boundary — identical
-discipline to the relational path (execution/scoring.py).
+1. CANDIDATES — decode only `doc_deltas` (1 of 4 block arrays) for every
+   query term; set algebra on sorted id arrays gives the exact match set,
+   exact `total`, and per-doc score UPPER BOUNDS from block metadata
+   (idf · block max_tfnorm, combined through the query tree — sums, boosts
+   and DisMax are monotone, so the tree of bounds is a true bound).
+2. SELECT — exact-score a seed of the max(4k, 256) highest-bound docs,
+   take the kth f32 score θ, then exact-score only docs whose bound can
+   beat θ (one f32 ulp guard → lossless, proven by the pruned-vs-unpruned
+   equality suite in tests/test_wand.py). Exact scoring decodes tfs/dls
+   lazily PER BLOCK, only for blocks that hold a surviving doc — the
+   decode counters in the kernel output prove blocks were skipped.
+
+Counting semantics match the reference exactly: `total` is the exact match
+count (tantivy's collector counts every match; our candidate phase does the
+same from doc ids alone). Paginated (`after`) and score-ascending queries
+need exact per-doc scores for the visited count / condition check, so they
+score all candidates — still segment-path, just no score-decode pruning
+(the reference visits every match in ALL cases, so this is never slower
+than reference semantics).
+
+Phrases run in-kernel: block `positions` blobs (concatenated <i4, lengths =
+tfs) are decoded only for docs in the constituent-term intersection, and
+adjacency is one np.intersect1d chain over (doc_idx << 32 | position) keys.
+
+Scores are float64 in-kernel, cast to float32 before heap comparisons and
+at the boundary — identical discipline to the relational path
+(execution/scoring.py), so both paths emit bit-identical results.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
@@ -38,152 +56,512 @@ from pyspark.sql import types as T
 from cantine_spark.build.codec import decode_varint
 from cantine_spark.execution.scoring import B, K1, idf as idf_fn
 from cantine_spark.index import IndexReader
+from cantine_spark.plans.nodes import (
+    All, Boolean, Boost, DisMax, Phrase, QueryNode, Term,
+)
 
 KERNEL_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType(), False),
-    T.StructField("doc_id", T.LongType(), False),
-    T.StructField("score", T.DoubleType(), False),
+    T.StructField("doc_id", T.LongType(), False),   # -1 = counts-only row
+    T.StructField("score", T.DoubleType(), False),  # f32-valued
     T.StructField("shard_total", T.LongType(), False),
+    T.StructField("shard_visited", T.LongType(), False),
+    T.StructField("blocks_total", T.LongType(), False),
+    T.StructField("blocks_scored", T.LongType(), False),
 ])
 
-
-def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    docs = np.cumsum(decode_varint(row.doc_deltas), dtype=np.uint64).astype(np.int64)
-    tfs = decode_varint(row.tfs).astype(np.float64)
-    dls = decode_varint(row.dls).astype(np.float64)
-    return docs, tfs, dls
+SEED_MIN = 256  # exact-score at least this many docs before pruning
 
 
-def _scores(tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
-    return idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+def collect_terms(node: QueryNode, out: set[tuple[str, str]]) -> None:
+    if isinstance(node, Term):
+        out.add((node.field, node.text))
+    elif isinstance(node, Phrase):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, Boost):
+        collect_terms(node.child, out)
+    elif isinstance(node, DisMax):
+        for c in node.children:
+            collect_terms(c, out)
+    elif isinstance(node, Boolean):
+        for c in (*node.musts, *node.shoulds, *node.must_nots):
+            collect_terms(c, out)
 
 
-def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
-    if len(docs) > k:
-        # kth by (score desc, doc asc): use lexsort keys
-        order = np.lexsort((docs, -scores))[:k]
-    else:
-        order = np.lexsort((docs, -scores))
-    return docs[order], scores[order]
+def segment_eligible(node: QueryNode) -> bool:
+    """True if the tree can run entirely in the segment kernel. All() cannot
+    (zero-token docs never appear in segments), so pure-negative and
+    match-all queries stay on the relational path."""
+    if isinstance(node, (Term, Phrase)):
+        return True
+    if isinstance(node, Boost):
+        return segment_eligible(node.child)
+    if isinstance(node, DisMax):
+        return all(segment_eligible(c) for c in node.children)
+    if isinstance(node, Boolean):
+        kids = (*node.musts, *node.shoulds, *node.must_nots)
+        return bool(kids) and all(segment_eligible(c) for c in kids)
+    return False
 
 
-def _kernel_single(pdf: pd.DataFrame, idf: float, avgdl: float, k: int):
-    """Block-max pruned single-term top-k within one shard."""
-    ub = idf * pdf["max_tfnorm"].to_numpy()
-    order = np.argsort(-ub, kind="stable")
-    shard_total = int(pdf["n_docs"].sum())  # exact from metadata, no decode
-    held_docs = np.empty(0, dtype=np.int64)
-    held_scores = np.empty(0, dtype=np.float64)
-    kth = -np.inf
-    for i in order:
-        if len(held_docs) >= k and ub[i] < kth:
-            break  # no doc in this (or any later) block can enter top-k
-        row = pdf.iloc[i]
-        docs, tfs, dls = _decode_block(row)
-        sc = _scores(tfs, dls, idf, avgdl)
-        held_docs = np.concatenate([held_docs, docs])
-        held_scores = np.concatenate([held_scores, sc])
-        held_docs, held_scores = _topk(held_docs, held_scores, k)
-        if len(held_docs) >= k:
-            # conservative threshold: one f32 ulp below the kth score so
-            # float32 rounding ties are never pruned away
-            kth = float(np.nextafter(np.float32(held_scores[-1]),
-                                     np.float32(-np.inf)))
-    return held_docs, held_scores, shard_total
+# ====================================================================== kernel
 
 
-def _decode_term(pdf: pd.DataFrame, idf: float, avgdl: float):
-    all_docs, all_scores = [], []
-    for row in pdf.itertuples():
-        docs, tfs, dls = _decode_block(row)
-        all_docs.append(docs)
-        all_scores.append(_scores(tfs, dls, idf, avgdl))
-    docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
-    scores = np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
-    order = np.argsort(docs, kind="stable")
-    return docs[order], scores[order]
+class _TermData:
+    """Per-(field,term) decoded state within one shard, decode-lazy."""
+
+    __slots__ = ("docs", "blk", "row_start", "tfn_ub", "rows", "tf", "dl",
+                 "decoded", "pos_cache")
+
+    def __init__(self, pdf: pd.DataFrame, row_idx: np.ndarray):
+        # row_idx: indices into pdf for this term's blocks, first_doc-sorted
+        self.rows = row_idx
+        n_per = pdf["n_docs"].to_numpy()[row_idx]
+        parts = [np.cumsum(decode_varint(pdf["doc_deltas"].iat[r]),
+                           dtype=np.uint64).astype(np.int64) for r in row_idx]
+        self.docs = (np.concatenate(parts) if parts
+                     else np.empty(0, np.int64))
+        self.blk = np.repeat(np.arange(len(row_idx)), n_per)
+        self.row_start = np.concatenate(([0], np.cumsum(n_per)))[:-1]
+        self.tfn_ub = np.repeat(pdf["max_tfnorm"].to_numpy()[row_idx], n_per)
+        self.tf = np.zeros(len(self.docs), dtype=np.float64)
+        self.dl = np.zeros(len(self.docs), dtype=np.float64)
+        self.decoded: set[int] = set()
+        self.pos_cache: dict[int, tuple] = {}
+
+
+class _ShardEval:
+    """Evaluates the query tree over one shard's blocks (all numpy)."""
+
+    def __init__(self, pdf: pd.DataFrame, idfs: dict, avgdl: dict):
+        self.pdf = pdf.reset_index(drop=True)
+        self.idfs = idfs
+        self.avgdl = avgdl
+        self.blocks_scored = 0
+        self._terms: dict[tuple[str, str], _TermData] = {}
+        self._phrases: dict = {}
+        fk = self.pdf["field"].to_numpy()
+        tk = self.pdf["term"].to_numpy()
+        fd = self.pdf["first_doc"].to_numpy()
+        self._rows_of: dict[tuple[str, str], np.ndarray] = {}
+        order = np.lexsort((fd,))
+        for r in order:
+            self._rows_of.setdefault((fk[r], tk[r]), []).append(r)
+
+    # ---------------------------------------------------------- term state
+    def term(self, ft: tuple[str, str]) -> _TermData:
+        td = self._terms.get(ft)
+        if td is None:
+            rows = np.asarray(self._rows_of.get(ft, []), dtype=np.int64)
+            td = _TermData(self.pdf, rows)
+            self._terms[ft] = td
+        return td
+
+    def _ensure_scored(self, ft: tuple[str, str], posting_idx: np.ndarray):
+        """Decode tfs/dls for exactly the blocks containing posting_idx."""
+        td = self.term(ft)
+        for r_local in np.unique(td.blk[posting_idx]):
+            if r_local in td.decoded:
+                continue
+            td.decoded.add(int(r_local))
+            self.blocks_scored += 1
+            r = td.rows[r_local]
+            s = td.row_start[r_local]
+            tfs = decode_varint(self.pdf["tfs"].iat[r]).astype(np.float64)
+            dls = decode_varint(self.pdf["dls"].iat[r]).astype(np.float64)
+            td.tf[s:s + len(tfs)] = tfs
+            td.dl[s:s + len(dls)] = dls
+
+    def _tfnorm(self, tf: np.ndarray, dl: np.ndarray, fld: str) -> np.ndarray:
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl[fld]))
+
+    # ---------------------------------------------------------- candidates
+    def candidates(self, node: QueryNode) -> np.ndarray:
+        if isinstance(node, Term):
+            return self.term((node.field, node.text)).docs
+        if isinstance(node, Phrase):
+            return self._phrase(node)[0]
+        if isinstance(node, Boost):
+            return self.candidates(node.child)
+        if isinstance(node, DisMax):
+            sets = [self.candidates(c) for c in node.children]
+            out = sets[0]
+            for s in sets[1:]:
+                out = np.union1d(out, s)
+            return out
+        if isinstance(node, Boolean):
+            musts = [m for m in node.musts if not isinstance(m, All)]
+            if musts:
+                out = self.candidates(musts[0])
+                for m in musts[1:]:
+                    out = np.intersect1d(out, self.candidates(m),
+                                         assume_unique=True)
+            elif node.shoulds:
+                out = np.empty(0, np.int64)
+                for s in node.shoulds:
+                    out = np.union1d(out, self.candidates(s))
+            else:
+                return np.empty(0, np.int64)
+            for mn in node.must_nots:
+                if len(out) == 0:
+                    break
+                out = np.setdiff1d(out, self.candidates(mn),
+                                   assume_unique=True)
+            return out
+        raise TypeError(f"kernel cannot evaluate {node!r}")
+
+    # ------------------------------------------------------------- phrases
+    def _phrase(self, node: Phrase) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, phrase_tf) for a phrase node — docs sorted; cached."""
+        hit = self._phrases.get(node)
+        if hit is not None:
+            return hit
+        fts = [(node.field, t) for t in node.terms]
+        inter = self.term(fts[0]).docs
+        for ft in fts[1:]:
+            inter = np.intersect1d(inter, self.term(ft).docs,
+                                   assume_unique=True)
+            if len(inter) == 0:
+                break
+        if len(inter) == 0:
+            out = (np.empty(0, np.int64), np.empty(0, np.int64))
+            self._phrases[node] = out
+            return out
+        starts = None
+        for i, ft in enumerate(fts):
+            keys = self._position_keys(ft, inter)
+            adj = keys - i
+            starts = adj if starts is None else np.intersect1d(
+                starts, adj, assume_unique=True)
+            if len(starts) == 0:
+                break
+        if starts is None or len(starts) == 0:
+            out = (np.empty(0, np.int64), np.empty(0, np.int64))
+        else:
+            ptf = np.bincount((starts >> np.int64(32)).astype(np.int64),
+                              minlength=len(inter))
+            mask = ptf > 0
+            out = (inter[mask], ptf[mask])
+        self._phrases[node] = out
+        return out
+
+    def _position_keys(self, ft: tuple[str, str], docs: np.ndarray) -> np.ndarray:
+        """(doc_index << 32 | position) keys for every occurrence of ft in
+        `docs` (docs ⊆ term's doc list). Decodes positions per needed block."""
+        td = self.term(ft)
+        sel = np.searchsorted(td.docs, docs)  # posting idx, aligned with docs
+        self._ensure_scored(ft, sel)          # tfs needed for blob offsets
+        keys_parts = []
+        blk_of_sel = td.blk[sel]
+        for r_local in np.unique(blk_of_sel):
+            cached = td.pos_cache.get(int(r_local))
+            if cached is None:
+                r = td.rows[r_local]
+                blob = self.pdf["positions"].iat[r] or b""
+                arr = np.frombuffer(blob, dtype="<i4")
+                s = td.row_start[r_local]
+                e = s + int((td.blk == r_local).sum())
+                offs = np.concatenate(
+                    ([0], np.cumsum(td.tf[s:e]))).astype(np.int64)
+                cached = (arr, offs, s)
+                td.pos_cache[int(r_local)] = cached
+            arr, offs, s = cached
+            mask = blk_of_sel == r_local
+            cidx = np.flatnonzero(mask)            # index into `docs`
+            local = sel[mask] - s                  # posting idx within block
+            lens = (offs[local + 1] - offs[local]).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            cum0 = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ramp = np.arange(total, dtype=np.int64) - np.repeat(cum0, lens)
+            gather = np.repeat(offs[local], lens) + ramp
+            pos = arr[gather].astype(np.int64)
+            rep_c = np.repeat(cidx.astype(np.int64), lens)
+            keys_parts.append((rep_c << np.int64(32)) | pos)
+        if not keys_parts:
+            return np.empty(0, np.int64)
+        return np.concatenate(keys_parts)
+
+    # ------------------------------------------------------------- scoring
+    def scores(self, node: QueryNode, C: np.ndarray) -> np.ndarray:
+        """Exact f64 scores for docs C (0.0 where the node doesn't match)."""
+        if isinstance(node, Term):
+            ft = (node.field, node.text)
+            td = self.term(ft)
+            out = np.zeros(len(C), dtype=np.float64)
+            if len(td.docs) == 0:
+                return out
+            pos = np.searchsorted(td.docs, C)
+            pos_c = np.clip(pos, 0, len(td.docs) - 1)
+            present = td.docs[pos_c] == C
+            if not present.any():
+                return out
+            sel = pos_c[present]
+            self._ensure_scored(ft, sel)
+            out[present] = self.idfs[ft] * self._tfnorm(
+                td.tf[sel], td.dl[sel], node.field)
+            return out
+        if isinstance(node, Phrase):
+            docs, ptf = self._phrase(node)
+            out = np.zeros(len(C), dtype=np.float64)
+            if len(docs) == 0:
+                return out
+            pos = np.searchsorted(docs, C)
+            pos_c = np.clip(pos, 0, len(docs) - 1)
+            present = docs[pos_c] == C
+            if not present.any():
+                return out
+            hit_docs = C[present]
+            hit_ptf = ptf[pos_c[present]].astype(np.float64)
+            # dl from the first constituent term's postings for these docs
+            ft0 = (node.field, node.terms[0])
+            td0 = self.term(ft0)
+            sel0 = np.searchsorted(td0.docs, hit_docs)
+            self._ensure_scored(ft0, sel0)
+            idf_sum = sum(self.idfs[(node.field, t)] for t in node.terms)
+            out[present] = idf_sum * self._tfnorm(
+                hit_ptf, td0.dl[sel0], node.field)
+            return out
+        if isinstance(node, Boost):
+            return self.scores(node.child, C) * node.factor
+        if isinstance(node, DisMax):
+            kid = np.stack([self.scores(c, C) for c in node.children])
+            mx = kid.max(axis=0)
+            sm = kid.sum(axis=0)
+            return mx + (sm - mx) * node.tiebreaker
+        if isinstance(node, Boolean):
+            out = np.zeros(len(C), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    out += self.scores(m, C)
+            for s in node.shoulds:
+                out += self.scores(s, C)
+            return out
+        raise TypeError(f"kernel cannot score {node!r}")
+
+    def bounds(self, node: QueryNode, C: np.ndarray) -> np.ndarray:
+        """Per-doc score upper bounds from block metadata only (no tf/dl
+        decode). Same tree recursion as scores(); every combinator (sum,
+        boost·, max+tiebreak·rest) is monotone, so bounds stay true."""
+        if isinstance(node, Term):
+            td = self.term((node.field, node.text))
+            out = np.zeros(len(C), dtype=np.float64)
+            if len(td.docs) == 0:
+                return out
+            pos = np.searchsorted(td.docs, C)
+            pos_c = np.clip(pos, 0, len(td.docs) - 1)
+            present = td.docs[pos_c] == C
+            out[present] = (self.idfs[(node.field, node.text)]
+                            * td.tfn_ub[pos_c[present]])
+            return out
+        if isinstance(node, Phrase):
+            # phrase tf ≤ min constituent tf → tfnorm bound = min over terms
+            docs, _ptf = self._phrase(node)
+            out = np.zeros(len(C), dtype=np.float64)
+            if len(docs) == 0:
+                return out
+            pos = np.searchsorted(docs, C)
+            pos_c = np.clip(pos, 0, len(docs) - 1)
+            present = docs[pos_c] == C
+            if not present.any():
+                return out
+            hit_docs = C[present]
+            tfn_min = None
+            for t in node.terms:
+                td = self.term((node.field, t))
+                sel = np.searchsorted(td.docs, hit_docs)
+                tfn = td.tfn_ub[sel]
+                tfn_min = tfn if tfn_min is None else np.minimum(tfn_min, tfn)
+            idf_sum = sum(self.idfs[(node.field, t)] for t in node.terms)
+            out[present] = idf_sum * tfn_min
+            return out
+        if isinstance(node, Boost):
+            return self.bounds(node.child, C) * node.factor
+        if isinstance(node, DisMax):
+            kid = np.stack([self.bounds(c, C) for c in node.children])
+            mx = kid.max(axis=0)
+            sm = kid.sum(axis=0)
+            return mx + (sm - mx) * node.tiebreaker
+        if isinstance(node, Boolean):
+            out = np.zeros(len(C), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    out += self.bounds(m, C)
+            for s in node.shoulds:
+                out += self.bounds(s, C)
+            return out
+        raise TypeError(f"kernel cannot bound {node!r}")
+
+
+def _topk_f32(docs: np.ndarray, scores64: np.ndarray, k: int,
+              ascending: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (f32 score, doc_id asc tiebreak in BOTH directions) —
+    tique topk.rs:191-203 / 55-86 semantics."""
+    s32 = scores64.astype(np.float32)
+    key = s32 if ascending else -s32
+    order = np.lexsort((docs, key))[:k]
+    return docs[order], s32[order].astype(np.float64)
+
+
+def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
+                after: tuple[float, int] | None, ascending: bool,
+                seed_min: int = SEED_MIN):
+    """Build the per-shard applyInPandas function (closure is pickled)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        ev = _ShardEval(pdf, idfs, avgdl)
+        blocks_total = len(pdf)
+        C = ev.candidates(node)
+        total = len(C)
+
+        def frame(docs, scores, visited):
+            docs = np.concatenate([docs, [-1]])
+            scores = np.concatenate([scores, [0.0]])
+            return pd.DataFrame({
+                "shard": np.int32(shard),
+                "doc_id": docs.astype(np.int64),
+                "score": scores,
+                "shard_total": np.int64(total),
+                "shard_visited": np.int64(visited),
+                "blocks_total": np.int64(blocks_total),
+                "blocks_scored": np.int64(ev.blocks_scored),
+            })
+
+        if total == 0:
+            return frame(np.empty(0, np.int64), np.empty(0), 0)
+
+        if after is None and not ascending:
+            # block-max pruned path (page 1, relevance desc — the hot case)
+            seed_n = max(4 * k, seed_min)
+            if total <= seed_n:
+                sc = ev.scores(node, C)
+                docs, scores = _topk_f32(C, sc, k)
+                return frame(docs, scores, total)
+            ub = ev.bounds(node, C)
+            order = np.argsort(-ub, kind="stable")
+            seed = order[:seed_n]
+            seed_sc = ev.scores(node, C[seed])
+            d1, s1 = _topk_f32(C[seed], seed_sc, k)
+            theta32 = np.float32(s1[-1])
+            guard = float(np.nextafter(theta32, np.float32(-np.inf)))
+            rest = order[seed_n:]
+            surv = rest[ub[rest] >= guard]
+            if len(surv):
+                sc2 = ev.scores(node, C[surv])
+                docs = np.concatenate([C[seed], C[surv]])
+                scores = np.concatenate([seed_sc, sc2])
+            else:
+                docs, scores = C[seed], seed_sc
+            docs, scores = _topk_f32(docs, scores, k)
+            return frame(docs, scores, total)
+
+        # exact-visited path: pagination and/or ascending need every score
+        # (reference semantics: the collector sees every match)
+        sc32 = ev.scores(node, C).astype(np.float32)
+        if after is not None:
+            ref_val, ref_id = np.float32(after[0]), int(after[1])
+            if ascending:
+                mask = (sc32 > ref_val) | ((sc32 == ref_val) & (C > ref_id))
+            else:
+                mask = (sc32 < ref_val) | ((sc32 == ref_val) & (C > ref_id))
+            C2, s2 = C[mask], sc32[mask]
+            visited = int(mask.sum())
+        else:
+            C2, s2, visited = C, sc32, total
+        docs, scores = _topk_f32(C2, s2.astype(np.float64), k, ascending)
+        return frame(docs, scores, visited)
+
+    return kernel
+
+
+# ===================================================================== driver
+
+
+@dataclass
+class KernelResult:
+    total: int
+    visited: int
+    hits: list[tuple[int, float]]          # (doc_id, f32 score)
+    blocks_total: int = 0
+    blocks_scored: int = 0
 
 
 @dataclass
 class FastTopK:
-    """Segment-path query executor (single field, term sets)."""
+    """Segment-path query executor — the engine's default for relevance
+    queries (reference anchor: cantine/src/index.rs:69-129 dispatches search
+    straight onto tantivy segments, never a row store)."""
     reader: IndexReader
-    avgdl_by_field: dict | None = None
+    executor: object = None  # SearchExecutor, shared df cache (optional)
+    avgdl_by_field: dict = dc_field(init=False)
 
     def __post_init__(self):
-        self.avgdl_by_field = {f: s["avgdl"] for f, s in self.reader.stats.items()}
+        if self.executor is None:
+            from cantine_spark.execution.executor import SearchExecutor
+            self.executor = SearchExecutor(self.reader)
+        self.avgdl_by_field = {f: s["avgdl"]
+                               for f, s in self.reader.stats.items()}
 
-    def _segments_for(self, field: str, terms: list[str]) -> DataFrame:
-        seg = self.reader.spark.read.parquet(f"{self.reader.index_dir}/segments")
-        return seg.filter((F.col("field") == field)
-                          & F.col("term").isin(*terms))
+    def _segments_for(self, terms: set[tuple[str, str]]) -> DataFrame:
+        seg = self.reader.segments
+        by_field: dict[str, list[str]] = {}
+        for f_, t_ in terms:
+            by_field.setdefault(f_, []).append(t_)
+        cond = None
+        for f_, ts in by_field.items():
+            c = (F.col("field") == f_) & F.col("term").isin(*ts)
+            cond = c if cond is None else (cond | c)
+        return seg.filter(cond)
 
+    def search(self, node: QueryNode, k: int = 10,
+               after: tuple[float, int] | None = None,
+               ascending: bool = False,
+               seed_min: int = SEED_MIN) -> KernelResult:
+        terms: set[tuple[str, str]] = set()
+        collect_terms(node, terms)
+        if not terms:
+            return KernelResult(0, 0, [])
+        dfs = self.executor.term_dfs(terms)
+        stats = self.reader.stats
+        idfs = {ft: idf_fn(dfs[ft], stats[ft[0]]["n_docs"])
+                for ft in terms if dfs[ft] > 0}
+        live = set(idfs)
+        if not live:
+            return KernelResult(0, 0, [])
+        kernel = make_kernel(node, idfs, self.avgdl_by_field, k,
+                             after, ascending, seed_min=seed_min)
+        seg = self._segments_for(live)
+        out = (seg.groupBy("shard")
+               .applyInPandas(kernel, KERNEL_SCHEMA).persist())
+        try:
+            order = (F.asc("score") if ascending else F.desc("score"))
+            rows = (out.filter(F.col("doc_id") >= 0)
+                    .select("doc_id", F.col("score").cast("float").alias("score"))
+                    .orderBy(order, F.asc("doc_id")).limit(k).collect())
+            tot = (out.groupBy("shard")
+                   .agg(F.max("shard_total").alias("t"),
+                        F.max("shard_visited").alias("v"),
+                        F.max("blocks_total").alias("bt"),
+                        F.max("blocks_scored").alias("bs"))
+                   .agg(F.sum("t").alias("total"), F.sum("v").alias("visited"),
+                        F.sum("bt").alias("bt"), F.sum("bs").alias("bs"))
+                   .collect()[0])
+        finally:
+            out.unpersist()
+        return KernelResult(
+            total=int(tot["total"] or 0), visited=int(tot["visited"] or 0),
+            hits=[(int(r["doc_id"]), float(r["score"])) for r in rows],
+            blocks_total=int(tot["bt"] or 0),
+            blocks_scored=int(tot["bs"] or 0))
+
+    # ------------------------------------------------- legacy test surface
     def topk(self, field: str, terms: list[str], k: int = 10,
              mode: str = "or") -> tuple[int, list[tuple[int, float]]]:
         """(total_matched, [(doc_id, f32 score)]) — equals the relational
         path's results exactly (tests/test_wand.py)."""
-        from cantine_spark.execution.executor import SearchExecutor
-        terms = sorted(set(terms))
-        dfs = {t: d for (_f, t), d in SearchExecutor(self.reader)
-               .term_dfs({(field, t) for t in terms}).items()}
-        live = [t for t in terms if dfs.get(t, 0) > 0]
-        if mode == "and" and len(live) < len(terms):
-            return 0, []
-        if not live:
-            return 0, []
-        n = self.reader.stats[field]["n_docs"]
-        avgdl = self.avgdl_by_field[field]
-        idfs = {t: idf_fn(dfs[t], n) for t in live}
-        k_ = k
-        mode_ = mode
-        single = len(live) == 1
-
-        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(key[0])
-            if single:
-                t = live[0]
-                docs, scores, total = _kernel_single(
-                    pdf, idfs[t], avgdl, k_)
-            else:
-                per_term = {t: _decode_term(pdf[pdf["term"] == t], idfs[t], avgdl)
-                            for t in live}
-                if mode_ == "or":
-                    cat_docs = np.concatenate([per_term[t][0] for t in live])
-                    cat_scores = np.concatenate([per_term[t][1] for t in live])
-                    uniq, inv = np.unique(cat_docs, return_inverse=True)
-                    acc = np.zeros(len(uniq), dtype=np.float64)
-                    np.add.at(acc, inv, cat_scores)
-                    docs, scores, total = *_topk(uniq, acc, k_), len(uniq)
-                else:  # and
-                    docs, scores = per_term[live[0]]
-                    for t in live[1:]:
-                        dt, st = per_term[t]
-                        if len(dt) == 0 or len(docs) == 0:
-                            docs = np.empty(0, np.int64)
-                            scores = np.empty(0, np.float64)
-                            break
-                        pos = np.clip(np.searchsorted(dt, docs), 0, len(dt) - 1)
-                        m = dt[pos] == docs
-                        docs, scores = docs[m], scores[m] + st[pos[m]]
-                    total = len(docs)
-                    docs, scores = _topk(docs, scores, k_)
-            return pd.DataFrame({"shard": np.int32(shard),
-                                 "doc_id": docs.astype(np.int64),
-                                 "score": scores,
-                                 "shard_total": np.int64(total)})
-
-        seg = self._segments_for(field, live)
-        out = seg.groupBy("shard").applyInPandas(kernel, KERNEL_SCHEMA).persist()
-        try:
-            rows = (out.select("doc_id",
-                               F.col("score").cast("float").alias("score"))
-                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)).collect()
-            # every emitted row repeats its shard's exact match count; shards
-            # with matches always emit ≥1 row, so max-per-shard + sum is exact
-            trow = (out.groupBy("shard")
-                       .agg(F.max("shard_total").alias("t"))
-                       .agg(F.sum("t").alias("total")).collect())
-            total = int(trow[0]["total"] or 0)
-        finally:
-            out.unpersist()
-        return total, [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        ts = tuple(Term(field, t) for t in sorted(set(terms)))
+        node = Boolean(musts=ts) if mode == "and" else Boolean(shoulds=ts)
+        r = self.search(node, k=k)
+        return r.total, r.hits

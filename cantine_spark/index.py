@@ -86,6 +86,20 @@ class IndexReader:
     def uuid_map(self) -> DataFrame:
         return self.table("uuid_map")
 
+    @property
+    def has_segments(self) -> bool:
+        """True when the compressed block-max segment table (format v2, with
+        in-block positions) is present — the engine's default query path."""
+        meta = os.path.join(self.index_dir, "segments", "_SEGMENTS_META.json")
+        if not os.path.exists(meta):
+            return False
+        with open(meta) as f:
+            return json.load(f).get("format", 1) >= 2
+
+    @cached_property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
     #      range-partitioned + sorted by doc_id → parquet row-group pruning.

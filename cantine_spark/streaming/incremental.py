@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from cantine_spark.build.builder import IndexBuilder
 from cantine_spark.build.merge import merge_segments
-from cantine_spark.build.segments import build_segments
 from cantine_spark.corpus import CORPUS_SCHEMA, with_doc_ids
 
 
@@ -66,8 +65,7 @@ class StreamingIndexer:
         base = state["next_doc_id"]
         ided = with_doc_ids(batch_df).withColumn(
             "doc_id", F.col("doc_id") + F.lit(base))
-        IndexBuilder(self.spark, gen_dir).build(ided)
-        build_segments(self.spark, gen_dir)
+        IndexBuilder(self.spark, gen_dir).build(ided)  # includes segments
         state["generations"].append(
             {"epoch": epoch_id, "dir": gen_dir, "n_docs": n,
              "first_doc_id": base, "committed_at": time.time()})

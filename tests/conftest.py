@@ -30,6 +30,11 @@ def index_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("index"))
     corpus = with_doc_ids(generate_corpus(spark, N_DOCS, partitions=4))
     build_index(spark, corpus, d)
+    # re-encode segments with a small shard span so the 150-doc index has
+    # several shards (kernel merge paths get exercised); done HERE, before
+    # any session-scoped reader caches the segments file listing
+    from cantine_spark.build.segments import build_segments
+    build_segments(spark, d, shard_span=40)
     return d
 
 

@@ -161,3 +161,29 @@ def test_cursor_sort_mismatch_rejected(engine):
 def test_zero_hit_query(engine):
     res = engine.search({"fulltext": "zzzznotfound99"})
     assert res.total_found == 0 and res.items == [] and res.next is None
+
+
+def test_segment_kernel_is_default_path(engine, monkeypatch):
+    """Eligible relevance queries must run on the compressed segments, never
+    lowering postings rows through the relational executor (VERDICT r1 #1:
+    the searcher IS the segment reader, cantine/src/index.rs:69-129).
+    term_dfs (the term-dictionary lookup) is still allowed."""
+    from cantine_spark.execution.executor import SearchExecutor
+
+    def boom(self, node, dfs):
+        raise AssertionError("relational frame() used for an eligible query")
+
+    monkeypatch.setattr(SearchExecutor, "frame", boom)
+    r = engine.search({"fulltext": "def return", "num_items": 5})
+    assert r.total_found > 0 and len(r.items) == 5
+
+    # pagination stays on the kernel too
+    r2 = engine.search({"fulltext": "def return", "num_items": 5,
+                        "after": r.next})
+    assert r2.items and not (
+        {i["doc_id"] for i in r.items} & {i["doc_id"] for i in r2.items})
+
+    # ineligible shapes (field sort / filter / match-all) fall back — and
+    # with frame() broken they must raise our sentinel, proving the split
+    with pytest.raises(AssertionError, match="relational frame"):
+        engine.search({"fulltext": "def", "sort": "num_lines"})

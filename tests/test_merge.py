@@ -100,3 +100,46 @@ def test_build_resume_skips_completed_stages(spark, tmp_path_factory):
              .agg(F.sum(F.pmod(F.xxhash64("field", "term", "doc_id", "tf"), F.lit(2**31)))).collect()[0][0])
     assert before == after, "resumed build must reproduce identical postings"
     corpus.unpersist()
+
+
+def test_merge_unaligned_spans_reshards_per_posting(spark, split_env,
+                                                    tmp_path_factory):
+    """ADVICE r1 (high): generations built with span 40 merged to span 25 —
+    blocks straddle the new shard boundaries, so block-level re-sharding
+    splits one doc's postings for different terms across shards (duplicate
+    partial scores in OR, dropped docs in AND). The merge must detect the
+    unaligned spans and re-shard PER POSTING."""
+    full_dir, halves, _ = split_env
+    out = str(tmp_path_factory.mktemp("unaligned")) + "/segments"
+    avgdl = {f: s["avgdl"]
+             for f, s in IndexReader(spark, full_dir).stats.items()}
+    meta = merge_segments(spark, [os.path.join(h, "segments") for h in halves],
+                          out, avgdl, 25)   # 25 does not divide 40
+    assert meta["aligned_fast_path"] is False
+
+    # 1. shard invariant: every block lies inside its shard's doc range
+    seg = spark.read.parquet(out)
+    bad = seg.filter(
+        ((F.col("first_doc") / 25).cast("int") != F.col("shard"))
+        | ((F.col("last_doc") / 25).cast("int") != F.col("shard"))).count()
+    assert bad == 0, "a merged block crosses its shard boundary"
+
+    # 2. posting-level equivalence with the single-shot build
+    merged = segments_to_postings(spark, out)
+    single = segments_to_postings(spark, os.path.join(full_dir, "segments"))
+    key = ["field", "term", "doc_id"]
+    diff = (merged.withColumnRenamed("tf", "tf_m").withColumnRenamed("dl", "dl_m")
+            .withColumnRenamed("positions", "pos_m")
+            .join(single, key, "full")
+            .filter(F.col("tf_m").isNull() | F.col("tf").isNull()
+                    | (F.col("tf_m") != F.col("tf"))
+                    | (F.col("dl_m") != F.col("dl"))
+                    | (F.col("pos_m") != F.col("positions"))))
+    assert diff.count() == 0
+    assert merged.count() == single.count()
+
+    # 3. aligned case still takes the fast path (80 = 2×40)
+    out2 = str(tmp_path_factory.mktemp("aligned")) + "/segments"
+    meta2 = merge_segments(spark, [os.path.join(h, "segments") for h in halves],
+                           out2, avgdl, 80)
+    assert meta2["aligned_fast_path"] is True

@@ -1,6 +1,7 @@
 """Segment path (compressed blocks + block-max pruning) vs relational path:
 pruning must be LOSSLESS — identical totals, identical top-k doc_ids and f32
-scores (SURVEY §7.2 step 6)."""
+scores (SURVEY §7.2 step 6) — for the FULL query algebra, and the decode
+counters must prove blocks were actually skipped on hot terms."""
 
 from __future__ import annotations
 
@@ -8,22 +9,25 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from cantine_spark.build.segments import build_segments, load_segments_meta
-from cantine_spark.execution.wand import FastTopK
-from cantine_spark.plans.nodes import Boolean, Term
+from cantine_spark.build.segments import load_segments_meta
+from cantine_spark.execution.wand import FastTopK, segment_eligible
+from cantine_spark.plans.nodes import (
+    All, Boolean, Boost, DisMax, Phrase, Term,
+)
 
 K = 10
 
 
 @pytest.fixture(scope="module")
-def segments(spark, index_dir):
-    build_segments(spark, index_dir, shard_span=40)  # several shards at 150 docs
-    return load_segments_meta(index_dir)
+def segments(index_dir):
+    meta = load_segments_meta(index_dir)
+    assert meta["format"] == 2 and meta["shard_span"] == 40
+    return meta
 
 
 @pytest.fixture(scope="module")
-def fast(reader, segments):
-    return FastTopK(reader)
+def fast(reader, executor, segments):
+    return FastTopK(reader, executor=executor)
 
 
 def relational(executor, node, k=K):
@@ -72,6 +76,149 @@ def test_fast_path_equals_relational(executor, fast, field, terms, mode):
     assert_same(fast.topk(field, terms, K, mode), relational(executor, node))
 
 
+TREES = [
+    Boost(Term("content", "def"), 1.15),
+    DisMax((Term("content", "def"), Term("path", "src")), 0.1),
+    Boolean(musts=(Term("content", "def"),),
+            shoulds=(Term("content", "parse00001"),),
+            must_nots=(Term("content", "import"),)),
+    Boolean(shoulds=(DisMax((Term("content", "merge00000"),
+                             Term("path", "merge00000")), 0.1),
+                     DisMax((Term("content", "def"),
+                             Term("path", "def")), 0.1))),
+    Phrase("content", ("permission", "is", "hereby", "granted")),
+    Boolean(musts=(Phrase("content", ("is", "hereby")),
+                   Term("content", "def"))),
+]
+
+
+@pytest.mark.parametrize("node", TREES, ids=lambda n: type(n).__name__)
+def test_full_algebra_equals_relational(executor, fast, node):
+    r = fast.search(node, k=K)
+    assert_same((r.total, r.hits), relational(executor, node))
+
+
+def test_eligibility():
+    assert segment_eligible(Term("content", "x"))
+    assert segment_eligible(Phrase("content", ("a", "b")))
+    assert segment_eligible(TREES[3])
+    assert not segment_eligible(All())
+    assert not segment_eligible(Boolean(musts=(All(),),
+                                        must_nots=(Term("content", "x"),)))
+
+
+@pytest.fixture(scope="module")
+def big_fast(spark, tmp_path_factory):
+    """Pruning only shows when a (term, shard) spans MULTIPLE blocks
+    (>128 matching docs per shard) — needs a bigger corpus than the shared
+    150-doc fixture. 1200 docs / span 600 → hot terms get ~5 blocks/shard."""
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.build.segments import build_segments
+    from cantine_spark.corpus import generate_corpus, with_doc_ids
+    from cantine_spark.index import IndexReader
+    d = str(tmp_path_factory.mktemp("prune_idx"))
+    build_index(spark, with_doc_ids(generate_corpus(spark, 1200,
+                                                    partitions=4)), d)
+    build_segments(spark, d, shard_span=600)
+    return FastTopK(IndexReader(spark, d))
+
+
+def test_kernel_unit_skips_low_bound_blocks():
+    """Direct kernel call on handcrafted blocks: one high-tf block, four
+    low-tf blocks. The seed's kth score must exceed the low blocks' bounds,
+    so their tfs/dls are never decoded (the block-max invariant)."""
+    import pandas as pd
+    from cantine_spark.build.segments import SEGMENT_SCHEMA, _encode_group_blocks
+    from cantine_spark.execution.scoring import idf as idf_fn
+    from cantine_spark.execution.wand import make_kernel
+    avgdl = 50.0
+    docs = np.arange(640, dtype=np.int64)
+    tfs = np.where(docs < 128, 20, 1).astype(np.int64)   # block 0 hot
+    dls = np.full(640, 50, dtype=np.int64)
+    rows = _encode_group_blocks("content", "t", 0, docs, tfs, dls, avgdl)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+    idfs = {("content", "t"): idf_fn(640, 10_000)}
+    kern = make_kernel(Term("content", "t"), idfs, {"content": avgdl},
+                       5, None, False, seed_min=8)
+    out = kern((0,), pdf)
+    hits = out[out.doc_id >= 0].sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    assert list(hits.doc_id) == [0, 1, 2, 3, 4]
+    assert int(out.shard_total.iat[0]) == 640
+    assert int(out.blocks_scored.iat[0]) == 1, "low-bound blocks were decoded"
+    assert int(out.blocks_total.iat[0]) == 5
+
+
+def test_and_rare_hot_skips_hot_blocks(big_fast):
+    """AND of a 1-doc term with a hot term: the candidate set is 1 doc, so
+    only the hot-term block CONTAINING that doc gets a score decode — at
+    scale this is the difference between decoding 100 blocks and 10^6."""
+    node = Boolean(musts=(Term("content", "def"),
+                          Term("content", "uniqterm00000007")))
+    r = big_fast.search(node, k=5, seed_min=8)
+    assert r.total == 1
+    assert r.blocks_scored < r.blocks_total, (
+        f"scored {r.blocks_scored}/{r.blocks_total}")
+    assert r.blocks_scored <= 4
+    full = big_fast.search(node, k=5, seed_min=10_000)
+    assert_same((r.total, r.hits), (full.total, full.hits))
+
+
+def test_or_rare_plus_hot_prunes_hot_tail(big_fast):
+    """OR of rare-high-idf + hot-low-idf: θ is set by the rare term's score,
+    so hot-only docs (bound « θ) are never exact-scored. Blocks holding no
+    survivor keep their tfs/dls compressed."""
+    node = Boolean(shoulds=(Term("content", "def"),
+                            Term("content", "uniqterm00000007")))
+    r = big_fast.search(node, k=1, seed_min=8)
+    full = big_fast.search(node, k=1, seed_min=10_000)
+    assert_same((r.total, r.hits), (full.total, full.hits))
+    assert full.blocks_scored == full.blocks_total
+    assert r.blocks_scored < r.blocks_total, (
+        f"scored {r.blocks_scored}/{r.blocks_total}")
+
+
+def test_hot_term_pruned_path_is_lossless(big_fast):
+    """Uniform hot term: every 128-doc block holds a near-max scorer, so
+    bounds are tight and little can be skipped — the pruned path must then
+    degrade gracefully to exact results (never wrong, never worse than the
+    reference's visit-everything collector)."""
+    node = Term("content", "def")
+    r = big_fast.search(node, k=5, seed_min=32)
+    full = big_fast.search(node, k=5, seed_min=10_000)
+    assert r.total > 1000
+    assert_same((r.total, r.hits), (full.total, full.hits))
+    assert r.blocks_scored <= full.blocks_scored
+
+
+def test_pagination_in_kernel(executor, fast):
+    """Cursor predicate applied in-kernel equals the relational page-2, and
+    visited counts follow the reference's condition semantics."""
+    node = Term("content", "def")
+    r1 = fast.search(node, k=K)
+    ref = (r1.hits[-1][1], r1.hits[-1][0])  # (score, doc_id) of last hit
+    r2 = fast.search(node, k=K, after=ref)
+    assert r2.total == r1.total
+    assert r2.visited == r1.total - K
+    # relational equivalent
+    m = executor.matches(node)
+    v = m.filter((F.col("score") < ref[0]) | (
+        (F.col("score") == ref[0]) & (F.col("doc_id") > ref[1])))
+    rows = executor.top_k(v, K).collect()
+    expect = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+    assert_same((r2.visited, r2.hits), (v.count(), expect))
+    assert not ({d for d, _ in r1.hits} & {d for d, _ in r2.hits})
+
+
+def test_ascending_relevance(executor, fast):
+    node = Term("content", "merge00016")  # df≈82 in the 150-doc corpus
+    r = fast.search(node, k=K, ascending=True)
+    m = executor.matches(node)
+    rows = executor.top_k(m, K, ascending=True).collect()
+    expect = [(int(x["doc_id"]), float(x["score"])) for x in rows]
+    assert_same((r.total, r.hits), (m.count(), expect))
+
+
 def test_segment_roundtrip_covers_all_postings(spark, reader, segments):
     """Decoded block metadata must account for every posting row."""
     seg = spark.read.parquet(f"{reader.index_dir}/segments")
@@ -95,3 +242,12 @@ def test_blocks_respect_shard_and_size(spark, reader, segments):
               .count()
     assert bad == 0, "a block crosses its doc-range shard boundary"
     assert seg.filter(F.col("n_docs") > segments["block_size"]).count() == 0
+
+
+def test_positions_travel_with_blocks(spark, reader, segments):
+    """Every block's positions blob length == 4·Σtf (packed <i4)."""
+    from cantine_spark.build.codec import decode_varint
+    seg = spark.read.parquet(f"{reader.index_dir}/segments").limit(50)
+    for row in seg.collect():
+        tfs = decode_varint(row["tfs"])
+        assert len(row["positions"]) == 4 * int(tfs.sum())
