@@ -29,7 +29,7 @@ from cantine_spark.cursor import (
 )
 from cantine_spark.execution.executor import SearchExecutor
 from cantine_spark.execution.wand import FastTopK, segment_eligible
-from cantine_spark.index import FEATURES, IndexReader
+from cantine_spark.index import IndexReader
 from cantine_spark.plans.nodes import All, Boolean, QueryNode
 from cantine_spark.queryparser.parser import QueryParser
 
@@ -37,7 +37,6 @@ MAX_ITEMS = 255          # u8 page cap (model.rs:192)
 DEFAULT_ITEMS = 10       # main.rs:124
 DISMAX_TIEBREAKER = 0.1  # main.rs:156
 FIELD_BOOSTS = {"path": 1.15, "content": 1.0}  # analog of name×1.15 (main.rs:229-233)
-FLOAT_FEATURES = {"comment_ratio", "avg_line_len"}  # cursor tag 2; rest tag 1
 
 _KNOWN_KEYS = {"fulltext", "num_items", "filter", "agg", "sort",
                "ascending", "after"}
@@ -58,7 +57,8 @@ class SearchQuery:
     after: str | None = None
 
     @classmethod
-    def from_dict(cls, d: dict[str, Any]) -> SearchQuery:
+    def from_dict(cls, d: dict[str, Any],
+                  features: dict | None = None) -> SearchQuery:
         unknown = set(d) - _KNOWN_KEYS
         if unknown:  # serde deny_unknown_fields (model.rs:189)
             raise BadRequest(f"unknown fields: {sorted(unknown)}")
@@ -70,12 +70,20 @@ class SearchQuery:
             for r in rngs:
                 if len(r) != 2:
                     raise BadRequest(f"{name} ranges are [lo, hi] pairs")
-        for feat in list(q.filter or {}) + list(q.agg or {}):
-            if feat not in FEATURES:
-                raise BadRequest(f"unknown feature {feat!r}")
-        if q.sort is not None and q.sort != "relevance" and q.sort not in FEATURES:
-            raise BadRequest(f"unknown sort {q.sort!r}")
+        if features is not None:
+            q.validate_features(features)
         return q
+
+    def validate_features(self, features: dict) -> None:
+        """Feature names come from the index's schema-derived set (U5:
+        cantine_derive generates the filter/agg/sort surface from the struct
+        shape; we derive it from docmeta's StructType at open time)."""
+        for feat in list(self.filter or {}) + list(self.agg or {}):
+            if feat not in features:
+                raise BadRequest(f"unknown feature {feat!r}")
+        if (self.sort is not None and self.sort != "relevance"
+                and self.sort not in features):
+            raise BadRequest(f"unknown sort {self.sort!r}")
 
 
 @dataclass
@@ -96,6 +104,7 @@ class SearchEngine:
     def __post_init__(self):
         self.executor = SearchExecutor(self.reader)
         self.parser = QueryParser(["content", "path"], boosts=FIELD_BOOSTS)
+        self.features = self.reader.features  # schema-derived (U5)
         self._fast: FastTopK | None = (
             FastTopK(self.reader, executor=self.executor)
             if self.reader.has_segments else None)
@@ -151,11 +160,10 @@ class SearchEngine:
             raise BadRequest("unknown uuid in cursor")
         return cur.value, doc_id
 
-    @staticmethod
-    def _cursor_tag(sort: str | None) -> int:
+    def _cursor_tag(self, sort: str | None) -> int:
         if sort in (None, "relevance"):
             return TAG_RELEVANCE
-        return TAG_F64 if sort in FLOAT_FEATURES else TAG_U64
+        return self.features[sort].cursor_tag
 
     def _encode_next(self, sort: str | None, value, uuid_hex: str) -> str:
         uuid = binascii.unhexlify(uuid_hex)
@@ -199,7 +207,9 @@ class SearchEngine:
     # ---------------------------------------------------------------- search
     def search(self, query: SearchQuery | dict) -> SearchResult:
         if isinstance(query, dict):
-            query = SearchQuery.from_dict(query)
+            query = SearchQuery.from_dict(query, features=self.features)
+        else:
+            query.validate_features(self.features)
         k = query.num_items or DEFAULT_ITEMS
         node, preds = self.interpret(query)
         after = self._decode_after(query)

@@ -25,11 +25,10 @@ REQUIRED = {
     "uuid_map": {"uuid", "doc_id", "ubucket"},
 }
 
-# numeric feature columns exposed to filter/agg/sort (cantine's Features
-# struct members, model.rs:110-129 → generated range queries)
-FEATURES = ["num_lines", "num_tokens", "content_bytes", "num_functions",
-            "num_imports", "comment_ratio", "avg_line_len", "max_line_len",
-            "doc_len_content"]
+# NOTE: the filter/sort/agg feature set is NOT a hardcoded list — it is
+# derived from the docmeta schema at open time (IndexReader.features →
+# features.features_from_struct), mirroring cantine_derive's proc-macro
+# codegen from the Features struct (internal/src/lib.rs:9-34).
 
 
 class SchemaMismatch(Exception):
@@ -63,6 +62,12 @@ class IndexReader:
     @cached_property
     def term_stats(self) -> DataFrame:
         return self.table("term_stats")
+
+    @cached_property
+    def features(self) -> dict:
+        """name → Feature, derived from the docmeta schema (U5)."""
+        from cantine_spark.features import features_from_struct
+        return features_from_struct(self.docmeta.schema)
 
     @cached_property
     def stats(self) -> dict[str, dict]:

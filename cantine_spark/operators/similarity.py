@@ -109,7 +109,7 @@ def ivf_topk(emb_assigned: DataFrame, centroids: np.ndarray,
     qp = queries.toPandas()
     qm = np.array(qp[qvec_col].tolist(), dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    probes = np.argsort(-(qm @ cn.T), axis=1)[:, :nprobe]
+    probes = np.argsort(-(qm @ cn.T), axis=1, kind="stable")[:, :nprobe]
     spark = emb_assigned.sparkSession
     probe_rows = [(int(qp[qid_col][i]), [int(c) for c in probes[i]])
                   for i in range(len(qp))]

@@ -674,32 +674,153 @@ FROM documents ORDER BY doc_id
 
 
 # ======================================================================
-# non-SQL-expressible entries (driver records rows-only checks):
-# simhash near-dups (bit-vote fingerprint) and IVF ANN (trained centroids)
+# simhash near-dups — SQL-parity construction: per-token md5-nibble bit
+# votes → 63-bit fingerprint (63 keeps the BIGINT non-negative in both
+# engines) → pigeonhole piece-split candidates → exact Hamming verify.
+# Deterministic integer math end to end, so DuckDB reproduces it exactly.
 # ======================================================================
 
-def simhash_pairs(spark, sf_dir) -> DataFrame:
-    from cantine_spark.operators.dedup import simhash, simhash_near_dups
+SIMHASH_BITS = 63
+SIMHASH_HAMMING = 8
+
+
+def _simhash_fp(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash): bit b votes +1 iff bit b of md5(token) is set,
+    summed over DISTINCT tokens; fingerprint bit = vote > 0."""
     tok = _tokens(spark, sf_dir)
-    h = simhash(tok, "toks")
-    return simhash_near_dups(h, max_hamming=8).orderBy("a", "b")
+    ex = tok.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    nib = ex.select("doc_id", *[
+        F.expr(f"instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1"
+               ).alias(f"n{j}") for j in range(16)])
+    votes = nib.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col(f"n{b // 4}"), b % 4)
+                     .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)])
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(spark, sf_dir) -> DataFrame:
+    from cantine_spark.operators.dedup import simhash_near_dups
+    h = _simhash_fp(spark, sf_dir)
+    return (simhash_near_dups(h, max_hamming=SIMHASH_HAMMING,
+                              n_bits=SIMHASH_BITS)
+            .orderBy("a", "b"))
+
+
+def simhash_pairs_sql() -> str:
+    from cantine_spark.operators.dedup import simhash_pieces
+    nibs = ",\n    ".join(
+        f"instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16))
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((n{b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS))
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+                    for b in range(SIMHASH_BITS))
+    pieces = simhash_pieces(SIMHASH_HAMMING, SIMHASH_BITS)
+    piece_cols = ",\n    ".join(
+        f"(simhash >> {shift}) & {(1 << width) - 1} AS q{i}"
+        for i, (shift, width) in enumerate(pieces))
+    cand_union = "\nUNION\n".join(
+        f"SELECT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb "
+        f"FROM pieces l JOIN pieces r ON l.q{i} = r.q{i} AND l.doc_id < r.doc_id"
+        for i in range(len(pieces)))
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
+nib AS (SELECT doc_id,
+    {nibs}
+  FROM ex),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM nib GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+pieces AS (SELECT doc_id, simhash,
+    {piece_cols}
+  FROM fp),
+cand AS (
+{cand_union}
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {SIMHASH_HAMMING}
+ORDER BY a, b
+"""
+
+
+# ======================================================================
+# IVF ANN — deterministic IVF-flat: centroids = the first nlist vectors
+# (seed init, zero Lloyd iterations → SQL-expressible), cells probed by
+# query-centroid cosine. The Lloyd-trained variant stays available as
+# operators.similarity.train_centroids (recall-tested in pytest).
+# ======================================================================
+
+IVF_NLIST = 8
+IVF_NPROBE = 4
+IVF_NQUERY = 3
 
 
 def ivf_ann(spark, sf_dir, k=10) -> DataFrame:
-    from cantine_spark.operators.similarity import (
-        assign_centroids, ivf_topk, train_centroids,
-    )
+    import numpy as np
+    from cantine_spark.operators.similarity import assign_centroids, ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
-    cents = train_centroids(emb, nlist=8, dim=dim, iters=2)
+    seeds = (emb.filter(F.col("vec_id") < IVF_NLIST)
+             .orderBy("vec_id").collect())
+    cents = np.array([[float(x) for x in r["embedding"]] for r in seeds],
+                     dtype=np.float64)
     assigned = assign_centroids(emb, cents)
-    q = emb.filter(F.col("vec_id") < 3).select(
+    q = emb.filter(F.col("vec_id") < IVF_NQUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))
-    return (ivf_topk(assigned, cents, q, k=k)
+    return (ivf_topk(assigned, cents, q, k=k, nprobe=IVF_NPROBE)
             .select("query_id", "vec_id",
                     F.round("cosine", 5).alias("cosine"), "rank")
             .orderBy("query_id", "rank"))
+
+
+def ivf_ann_sql(k=10) -> str:
+    cos = """
+    list_sum(list_transform(list_zip({a}, {b}),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS sv FROM embeddings WHERE vec_id < {IVF_NLIST}),
+cell_cos AS (
+  SELECT e.vec_id, s.sid, {cos.format(a='e.embedding', b='s.sv')} AS c
+  FROM embeddings e, seeds s),
+assign AS (
+  SELECT vec_id, sid AS centroid FROM (
+    SELECT vec_id, sid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sid ASC) AS rn
+    FROM cell_cos) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, sid AS cell FROM (
+    SELECT vec_id, sid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, sid ASC) AS rn
+    FROM cell_cos WHERE vec_id < {IVF_NQUERY}) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.centroid = p.cell),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {cos.format(a='ev.embedding', b='eq.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+  JOIN embeddings eq ON eq.vec_id = c.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(cosine, 5) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 # ======================================================================
@@ -725,7 +846,7 @@ QUERIES = {
     "token_counts": (token_counts, token_counts_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ann_cosine_topk_sql()),
     "events_hourly": (events_hourly, events_hourly_sql()),
-    # non-SQL-expressible (driver rows-only checks)
-    "simhash_pairs": (simhash_pairs, None),
-    "ivf_ann": (ivf_ann, None),
+    # formerly rows-only; now oracle-checked (r1 VERDICT items 4 & 7)
+    "simhash_pairs": (simhash_pairs, simhash_pairs_sql()),
+    "ivf_ann": (ivf_ann, ivf_ann_sql()),
 }

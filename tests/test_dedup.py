@@ -99,3 +99,36 @@ def test_embedding_near_dups(spark):
     assert (0, 3) in pairs and pairs[(0, 3)] > 0.99
     assert (2, 5) in pairs and pairs[(2, 5)] > 0.999
     assert all({a, b} in ({0, 3}, {2, 5}) for a, b in pairs)
+
+
+def test_simhash_pieces_cover_all_bits():
+    from cantine_spark.operators.dedup import simhash_pieces
+    for t in (0, 1, 3, 4, 8, 20, 63):
+        pieces = simhash_pieces(t)
+        assert len(pieces) == t + 1
+        covered = 0
+        for shift, width in pieces:
+            assert width >= 1
+            covered |= ((1 << width) - 1) << shift
+        assert covered == (1 << 64) - 1, f"t={t}: pieces must tile 64 bits"
+    with pytest.raises(ValueError):
+        simhash_pieces(64)
+
+
+def test_simhash_pigeonhole_beyond_quarters(spark):
+    """ADVICE r1: a pair differing exactly 1 bit in EACH 16-bit quarter
+    (Hamming 4) defeats the old hardcoded 4-quarter split — all four quarter
+    keys differ, so the pair was never a candidate. The derived t+1-piece
+    split must find it."""
+    from cantine_spark.operators.dedup import simhash_near_dups
+    a = 0x0F0F0F0F0F0F0F0F
+    b = a ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    rows = [(1, a), (2, b), (3, a ^ 0xFF)]  # (1,3) at distance 8
+    h = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_near_dups(h, max_hamming=4).collect()}
+    assert got.get((1, 2)) == 4, "distance-4 pair lost by the piece split"
+    assert (1, 3) not in got  # distance 8 > t → correctly excluded
+    got8 = {(r["a"], r["b"]): r["hamming"]
+            for r in simhash_near_dups(h, max_hamming=8).collect()}
+    assert got8.get((1, 3)) == 8
