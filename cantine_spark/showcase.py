@@ -81,22 +81,79 @@ def _sql_bm25_expr(tf_expr: str, df_expr: str, dl="dl") -> str:
 
 
 # ======================================================================
+# ENGINE-BACKED ENTRIES (r1 VERDICT item 6): the BM25/phrase/pagination
+# entries below build (or reuse) a REAL index over the documents table and
+# answer through SearchEngine — postings, segments, block-max kernel, uuid
+# cursor resolve — so the driver's oracle gate exercises the actual engine,
+# not a parallel algebra. The oracle SQL mirrors the engine's float
+# discipline explicitly: scores pass through f32 (tantivy's Score type,
+# CAST(... AS REAL)) before the shared ROUND(x, 5), and the ORDER BY uses
+# the f32 value with doc_id tie-break — bit-identical to the kernel's heap.
+# ======================================================================
+
+_ENGINE_CACHE: dict = {}
+
+
+def _engine(spark, sf_dir):
+    """Build-once-per-sf_dir SearchEngine over the documents table. The
+    index lands in .idx_cache/ (builder stage markers make re-entry a
+    no-op), with the corpus shaped to the engine's input_hint schema:
+    content = text, path = doc_id (so engine doc_ids == documents.doc_id)."""
+    import os as _os
+    from cantine_spark.api import SearchEngine
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.index import IndexReader
+    key = _os.path.abspath(sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    root = _os.environ.get(
+        "CANTINE_IDX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".idx_cache"))
+    idx_dir = _os.path.join(root, key.strip("/").replace("/", "_"))
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("testdata").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("txt")).alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content")))
+    build_index(spark, corpus, idx_dir)
+    eng = SearchEngine(IndexReader(spark, idx_dir))
+    _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def _items_df(spark, items) -> DataFrame:
+    """Engine hits → (doc_id, score) frame, ROUND(f32→f64, 5), engine order
+    preserved (score f32 desc, doc_id asc — the kernel's heap order)."""
+    rows = [(int(it["doc_id"]), float(it["score"])) for it in items]
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    df = spark.createDataFrame(rows, "doc_id long, score float")
+    return df.select(
+        "doc_id", F.round(F.col("score").cast("double"), 5).alias("score"))
+
+
+def _sql_f32_select(raw_expr: str, where: str, k: int | None) -> str:
+    """Shared tail: f32-cast score, rounded display value, f32 ordering."""
+    lim = f"\nLIMIT {k}" if k is not None else ""
+    return (f"scored AS (\n"
+            f"  SELECT b.doc_id, CAST({raw_expr} AS REAL) AS s32\n"
+            f"  FROM base b, stats s\n  WHERE {where})\n"
+            f"SELECT doc_id, ROUND(CAST(s32 AS DOUBLE), 5) AS score\n"
+            f"FROM scored ORDER BY s32 DESC, doc_id ASC{lim}")
+
+
+# ======================================================================
 # F1/C1/T1/T2: single-term BM25 top-k
 # ======================================================================
 
 def bm25_single_term(spark, sf_dir, term="spark", k=10) -> DataFrame:
-    st = _collection_stats(spark, sf_dir, [term])
-    if st["df"][term] == 0:
-        return spark.createDataFrame([], "doc_id long, score double")
-    tok = _tokens(spark, sf_dir)
-    scored = (tok.select(
-        "doc_id", _tf_col(term).alias("tf"), F.size("toks").alias("dl"))
-        .filter(F.col("tf") > 0)
-        .select("doc_id",
-                F.round(_bm25_col(F.col("tf"), F.col("dl"),
-                                  _idf(st["df"][term], st["n"]),
-                                  st["avgdl"]), 5).alias("score")))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    """F1/C1/T1/T2 through the REAL engine: postings+segments built from the
+    documents table, query answered by the block-max kernel."""
+    res = _engine(spark, sf_dir).search({"fulltext": term, "num_items": k})
+    return _items_df(spark, res.items)
 
 
 def bm25_single_term_sql(term="spark", k=10) -> str:
@@ -109,13 +166,8 @@ base AS (
 stats AS (
   SELECT count(*) AS n, sum(dl) AS sum_dl,
          sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df0
-  FROM base)
-SELECT b.doc_id,
-       ROUND({_sql_bm25_expr('b.tf', 's.df0', 'b.dl')}, 5) AS score
-FROM base b, stats s
-WHERE b.tf > 0
-ORDER BY score DESC, b.doc_id ASC
-LIMIT {k}
+  FROM base),
+{_sql_f32_select(_sql_bm25_expr('b.tf', 's.df0', 'b.dl'), 'b.tf > 0', k)}
 """
 
 
@@ -124,23 +176,11 @@ LIMIT {k}
 # ======================================================================
 
 def bm25_multi_or(spark, sf_dir, terms=("spark", "query", "join"), k=10) -> DataFrame:
-    terms = list(terms)
-    st = _collection_stats(spark, sf_dir, terms)
-    tok = _tokens(spark, sf_dir)
-    dl = F.size("toks")
-    score = F.lit(0.0)
-    match = F.lit(False)
-    for t in terms:
-        if st["df"][t] == 0:
-            continue
-        tf = _tf_col(t)
-        score = score + F.when(
-            tf > 0, _bm25_col(tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])
-        ).otherwise(0.0)
-        match = match | (tf > 0)
-    return (tok.filter(match)
-            .select("doc_id", F.round(score, 5).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    """J2 through the real engine (Boolean shoulds, scores summed in term
+    order inside the kernel)."""
+    res = _engine(spark, sf_dir).search(
+        {"fulltext": " ".join(terms), "num_items": k})
+    return _items_df(spark, res.items)
 
 
 def bm25_multi_or_sql(terms=("spark", "query", "join"), k=10) -> str:
@@ -164,12 +204,8 @@ base AS (
 stats AS (
   SELECT count(*) AS n, sum(dl) AS sum_dl,
          {df_cols}
-  FROM base)
-SELECT b.doc_id, ROUND({score_sum}, 5) AS score
-FROM base b, stats s
-WHERE {match}
-ORDER BY score DESC, b.doc_id ASC
-LIMIT {k}
+  FROM base),
+{_sql_f32_select(score_sum, match, k)}
 """
 
 
@@ -179,20 +215,10 @@ LIMIT {k}
 
 def bm25_must_mustnot(spark, sf_dir, must=("table", "scan"),
                       must_not="error", k=10) -> DataFrame:
-    terms = list(must)
-    st = _collection_stats(spark, sf_dir, terms)
-    tok = _tokens(spark, sf_dir)
-    dl = F.size("toks")
-    score = F.lit(0.0)
-    cond = F.lit(True)
-    for t in terms:
-        tf = _tf_col(t)
-        cond = cond & (tf > 0)
-        score = score + _bm25_col(tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])
-    cond = cond & (_tf_col(must_not) == 0)
-    return (tok.filter(cond)
-            .select("doc_id", F.round(score, 5).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    """J1/J4 through the real engine: +must terms, -prohibited term."""
+    q = " ".join(f"+{t}" for t in must) + f" -{must_not}"
+    res = _engine(spark, sf_dir).search({"fulltext": q, "num_items": k})
+    return _items_df(spark, res.items)
 
 
 def bm25_must_mustnot_sql(must=("table", "scan"), must_not="error", k=10) -> str:
@@ -216,12 +242,8 @@ base AS (
 stats AS (
   SELECT count(*) AS n, sum(dl) AS sum_dl,
          {df_cols}
-  FROM base)
-SELECT b.doc_id, ROUND({score_sum}, 5) AS score
-FROM base b, stats s
-WHERE {cond} AND b.tfn = 0
-ORDER BY score DESC, b.doc_id ASC
-LIMIT {k}
+  FROM base),
+{_sql_f32_select(score_sum, cond + " AND b.tfn = 0", k)}
 """
 
 
@@ -230,33 +252,40 @@ LIMIT {k}
 # ======================================================================
 
 def phrase_match(spark, sf_dir, w1="fast", w2="table") -> DataFrame:
-    """Docs containing the exact token bigram; tf = occurrence count.
-    Adjacency on the space-joined token stream is equivalent to positional
-    adjacency for a bigram and is expressible in both engines."""
-    tok = _tokens(spark, sf_dir)
-    joined = F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" "))
-    needle = f" {w1} {w2} "
-    ptf = ((F.length(joined) - F.length(F.replace(joined, F.lit(needle),
-                                                  F.lit(" "))))
-           / (len(needle) - 1)).cast("long")
-    return (tok.select("doc_id", ptf.alias("phrase_tf"))
-            .filter(F.col("phrase_tf") > 0)
-            .orderBy(F.desc("phrase_tf"), F.asc("doc_id")))
+    """F2 through the real engine: positional phrase evaluated inside the
+    segment kernel (positions travel with the blocks); BM25 phrase score =
+    (idf(w1)+idf(w2)) · tfnorm(phrase_tf), tantivy's Bm25Weight::for_terms
+    semantics. All matches returned (≤255, the u8 page cap)."""
+    res = _engine(spark, sf_dir).search(
+        {"fulltext": f'"{w1} {w2}"', "num_items": 255})
+    return _items_df(spark, res.items)
 
 
 def phrase_match_sql(w1="fast", w2="table") -> str:
-    needle = f" {w1} {w2} "
-    n = len(needle) - 1
+    # positional adjacency count: positions i (1-based) with toks[i] = w1
+    # and toks[i+1] = w2 — exact phrase tf, not the string-replace trick
+    # (replace undercounts back-to-back repeats)
+    ptf = (f"len(list_filter(range(1, len(toks)), "
+           f"i -> toks[i] = '{w1}' AND toks[i + 1] = '{w2}'))")
+    idf_sum = ("(ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))"
+               " + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)))")
+    raw = (f"{idf_sum} * (b.ptf * 2.2) / "
+           f"(b.ptf + 1.2 * (0.25 + 0.75 * b.dl / "
+           f"(CAST(s.sum_dl AS DOUBLE) / s.n)))")
     return f"""
 WITH tok AS ({_SQL_TOK}),
-j AS (
-  SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS s FROM tok)
-SELECT doc_id,
-       CAST((len(s) - len(replace(s, '{needle}', ' '))) / {n} AS BIGINT)
-         AS phrase_tf
-FROM j
-WHERE (len(s) - len(replace(s, '{needle}', ' '))) / {n} > 0
-ORDER BY phrase_tf DESC, doc_id ASC
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {ptf} AS ptf,
+         len(list_filter(toks, x -> x = '{w1}')) AS tf0,
+         len(list_filter(toks, x -> x = '{w2}')) AS tf1
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+  FROM base),
+{_sql_f32_select(raw, 'b.ptf > 0', 255)}
 """
 
 
@@ -449,19 +478,14 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 def bm25_dismax(spark, sf_dir, t1="spark", t2="stream",
                 tiebreaker=0.1, k=10) -> DataFrame:
-    st = _collection_stats(spark, sf_dir, [t1, t2])
-    tok = _tokens(spark, sf_dir)
-    dl = F.size("toks")
-    s = []
-    for t in (t1, t2):
-        tf = _tf_col(t)
-        s.append(F.when(tf > 0, _bm25_col(
-            tf, dl, _idf(st["df"][t], st["n"]), st["avgdl"])).otherwise(0.0))
-    mx = F.greatest(*s)
-    score = mx + (s[0] + s[1] - mx) * F.lit(tiebreaker)
-    return (tok.filter((_tf_col(t1) > 0) | (_tf_col(t2) > 0))
-            .select("doc_id", F.round(score, 5).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    """J3/C2 through the real engine: a term-level DisMax plan evaluated by
+    the segment kernel (mx + (sum-mx)·tiebreaker, dismax.rs:19-35)."""
+    from cantine_spark.plans.nodes import DisMax, Term
+    eng = _engine(spark, sf_dir)
+    node = DisMax((Term("content", t1), Term("content", t2)), tiebreaker)
+    res = eng._fast.search(node, k=k)
+    items = [{"doc_id": d, "score": sc} for d, sc in res.hits]
+    return _items_df(spark, items)
 
 
 def bm25_dismax_sql(t1="spark", t2="stream", tiebreaker=0.1, k=10) -> str:
@@ -479,15 +503,11 @@ stats AS (
   SELECT count(*) AS n, sum(dl) AS sum_dl,
          sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
-  FROM base)
-SELECT b.doc_id,
-  ROUND(greatest({s[0]}, {s[1]})
-        + ({s[0]} + {s[1]} - greatest({s[0]}, {s[1]})) * {tiebreaker},
-        5) AS score
-FROM base b, stats s
-WHERE b.tf0 > 0 OR b.tf1 > 0
-ORDER BY score DESC, b.doc_id ASC
-LIMIT {k}
+  FROM base),
+{_sql_f32_select(
+    f"greatest({s[0]}, {s[1]})"
+    f" + ({s[0]} + {s[1]} - greatest({s[0]}, {s[1]})) * {tiebreaker}",
+    "b.tf0 > 0 OR b.tf1 > 0", k)}
 """
 
 
@@ -496,18 +516,44 @@ LIMIT {k}
 # ======================================================================
 
 def topk_page2(spark, sf_dir, term="table", page=10) -> DataFrame:
-    full = bm25_single_term(spark, sf_dir, term, k=3 * page)
-    from pyspark.sql import Window
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (full.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") > page) & (F.col("rn") <= 2 * page))
-            .drop("rn"))
+    """T5 through the real engine: page 1 emits a wire-format cursor whose
+    uuid resolves via the hash-bucketed uuid_map; page 2 applies the
+    pagination condition inside the kernel. Equals OFFSET under the total
+    order (score f32 desc, doc_id asc)."""
+    eng = _engine(spark, sf_dir)
+    r1 = eng.search({"fulltext": term, "num_items": page})
+    if r1.next is None:
+        return _items_df(spark, [])
+    r2 = eng.search({"fulltext": term, "num_items": page, "after": r1.next})
+    return _items_df(spark, r2.items)
 
 
 def topk_page2_sql(term="table", page=10) -> str:
-    inner = bm25_single_term_sql(term, k=3 * page).strip().rstrip()
-    return (f"SELECT doc_id, score FROM ({inner}) "
-            f"ORDER BY score DESC, doc_id ASC LIMIT {page} OFFSET {page}")
+    # rank on the f32 value itself (rounding could permute f32-ties)
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = '{term}')) AS tf
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df0
+  FROM base),
+scored AS (
+  SELECT b.doc_id,
+         CAST({_sql_bm25_expr('b.tf', 's.df0', 'b.dl')} AS REAL) AS s32
+  FROM base b, stats s
+  WHERE b.tf > 0),
+ranked AS (
+  SELECT doc_id, s32,
+         ROW_NUMBER() OVER (ORDER BY s32 DESC, doc_id ASC) AS rn
+  FROM scored)
+SELECT doc_id, ROUND(CAST(s32 AS DOUBLE), 5) AS score
+FROM ranked
+WHERE rn > {page} AND rn <= {2 * page}
+ORDER BY rn
+"""
 
 
 # ======================================================================
