@@ -185,17 +185,13 @@ class SearchEngine:
                                 ascending=query.ascending)
         items: list[dict] = []
         if res.hits:
-            hits_df = self.reader.spark.createDataFrame(
-                [(int(d), float(s)) for d, s in res.hits],
-                "doc_id long, score float")
-            order = (F.col("score").asc() if query.ascending
-                     else F.col("score").desc())
-            rows = (self.executor.hydrate(hits_df)
-                    .orderBy(order, F.col("doc_id").asc()).collect())
-            items = [{"doc_id": int(r["doc_id"]), "uuid": r["uuid"],
-                      "repo": r["repo"], "path": r["path"], "lang": r["lang"],
-                      "score": float(r["score"]),
-                      "sort_val": float(r["score"])} for r in rows]
+            # hits are already kernel-ordered (score f32, doc_id tiebreak);
+            # hydration is one pruned isin-scan of the doc store
+            by_id = self.executor.hydrate_ids([d for d, _ in res.hits])
+            items = [{"doc_id": d, "uuid": by_id[d]["uuid"],
+                      "repo": by_id[d]["repo"], "path": by_id[d]["path"],
+                      "lang": by_id[d]["lang"],
+                      "score": s, "sort_val": s} for d, s in res.hits]
         next_cursor = None
         if res.visited - len(items) > 0 and items:
             last = items[-1]

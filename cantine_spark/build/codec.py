@@ -15,15 +15,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """uint64 array → LEB128 bytes."""
+def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array → (LEB128 bytes, per-value byte count). The lengths let
+    a caller slice the one big encoded buffer into per-block blobs without
+    re-encoding per block (the whole-column encode is one vectorized pass)."""
     vals = np.ascontiguousarray(values, dtype=np.uint64)
     if len(vals) == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(len(vals), dtype=np.int64)
     v = vals.copy()
-    for i in range(1, 10):
+    for _ in range(1, 10):
         v >>= np.uint64(7)
         nb += (v > 0).astype(np.int64)
     total = int(nb.sum())
@@ -36,7 +37,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         chunk = ((vals[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[mask] > i + 1).astype(np.uint8) << 7
         out[starts[mask] + i] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """uint64 array → LEB128 bytes."""
+    return encode_varint_with_lengths(values)[0]
 
 
 def decode_varint(buf: bytes) -> np.ndarray:

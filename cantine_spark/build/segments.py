@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cantine_spark.build.codec import encode_varint
+from cantine_spark.build.codec import encode_varint, encode_varint_with_lengths
 from cantine_spark.execution.scoring import B, K1
 
 BLOCK_SIZE = 128
@@ -97,6 +97,97 @@ def _encode_group_blocks(field: str, term: str, shard: int,
     return rows
 
 
+def _encode_sorted(pdf: pd.DataFrame, avgdl: dict) -> pd.DataFrame:
+    """Encode a (field, term, shard, doc_id)-sorted posting batch into block
+    rows — ALL groups at once, pure numpy (a groupBy.applyInPandas here pays
+    per-group Arrow + Python overhead × millions of rare-term groups; this
+    one-pass formulation took the 50k-doc encode from 84s to seconds).
+    Byte-identical to _encode_group_blocks on every group."""
+    n = len(pdf)
+    fields = pdf["field"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+
+    change = np.ones(n, dtype=bool)
+    change[1:] = ((fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+                  | (shards[1:] != shards[:-1]))
+    gstart_idx = np.flatnonzero(change)
+    gid = np.cumsum(change) - 1
+    rank = np.arange(n, dtype=np.int64) - gstart_idx[gid]
+    bchange = change | (rank % BLOCK_SIZE == 0)
+    bstart = np.flatnonzero(bchange)
+    bend = np.append(bstart[1:], n)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = docs[0]
+    deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    deltas[bstart] = docs[bstart].astype(np.uint64)  # reset at block starts
+
+    dbuf, dnb = encode_varint_with_lengths(deltas)
+    tbuf, tnb = encode_varint_with_lengths(tfs.astype(np.uint64))
+    lbuf, lnb = encode_varint_with_lengths(dls.astype(np.uint64))
+
+    def block_slices(buf: bytes, nb: np.ndarray) -> list[bytes]:
+        offs = np.concatenate(([0], np.cumsum(nb)))
+        return [buf[a:b] for a, b in zip(offs[bstart], offs[bend])]
+
+    pbuf = b"".join(pdf["positions"].tolist())
+    poffs = np.concatenate(([0], np.cumsum(tfs * 4)))
+    pos_slices = [pbuf[a:b] for a, b in zip(poffs[bstart], poffs[bend])]
+
+    av = pd.Series(fields).map(avgdl).to_numpy(np.float64)
+    tfd = tfs.astype(np.float64)
+    tfn = tfd * (K1 + 1.0) / (tfd + K1 * (1.0 - B + B * dls / av))
+
+    return pd.DataFrame({
+        "field": fields[bstart],
+        "term": terms[bstart],
+        "shard": shards[bstart].astype(np.int32),
+        "block_id": (rank[bstart] // BLOCK_SIZE).astype(np.int32),
+        "n_docs": (bend - bstart).astype(np.int32),
+        "first_doc": docs[bstart],
+        "last_doc": docs[bend - 1],
+        "doc_deltas": block_slices(dbuf, dnb),
+        "tfs": block_slices(tbuf, tnb),
+        "dls": block_slices(lbuf, lnb),
+        "positions": pos_slices,
+        "max_tfnorm": np.maximum.reduceat(tfn, bstart),
+    })
+
+
+def _encode_batches(avgdl: dict):
+    """mapInPandas encoder with group carry-over: Arrow batches may split a
+    (field, term, shard) group, so the trailing (possibly incomplete) group
+    of each batch is held back and prepended to the next."""
+
+    def gen(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            f = pdf["field"].to_numpy()
+            t = pdf["term"].to_numpy()
+            sh = pdf["shard"].to_numpy()
+            tail = (f == f[-1]) & (t == t[-1]) & (sh == sh[-1])
+            n_tail = len(pdf) if tail.all() else int(np.argmin(tail[::-1]))
+            cut = len(pdf) - n_tail
+            if cut == 0:
+                pending = pdf
+                continue
+            pending = pdf.iloc[cut:].reset_index(drop=True)
+            yield _encode_sorted(pdf.iloc[:cut], avgdl)
+        if pending is not None and len(pending):
+            yield _encode_sorted(pending, avgdl)
+
+    return gen
+
+
 def build_segments(spark: SparkSession, index_dir: str,
                    shard_span: int | None = None,
                    n_docs: int | None = None) -> dict:
@@ -114,21 +205,15 @@ def build_segments(spark: SparkSession, index_dir: str,
     keyed = postings.withColumn(
         "shard", (F.col("doc_id") / F.lit(span)).cast("int"))
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term, shard = key
-        rows = _encode_group_blocks(
-            field, term, int(shard),
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-            avgdl[field],
-            positions=pdf["positions"].tolist())
-        return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
-
     out_path = os.path.join(index_dir, "segments")
     t0 = time.time()
-    (keyed.groupBy("field", "term", "shard")
-          .applyInPandas(encode, SEGMENT_SCHEMA)
+    # hash-repartition keeps every (field, term, shard) group whole in one
+    # partition; the sort makes groups contiguous so ONE vectorized
+    # mapInPandas pass encodes everything (hot-term skew is spread because
+    # the key includes shard — a stopword's postings split over all shards)
+    (keyed.repartition(max(8, parallelism * 2), "field", "term", "shard")
+          .sortWithinPartitions("field", "term", "shard", "doc_id")
+          .mapInPandas(_encode_batches(avgdl), SEGMENT_SCHEMA)
           .repartition(max(8, parallelism), "shard")
           .sortWithinPartitions("shard", "field", "term", "block_id")
           .write.mode("overwrite").partitionBy("shard").parquet(out_path))

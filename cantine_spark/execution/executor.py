@@ -253,3 +253,18 @@ class SearchExecutor:
         """J5: winners (≤255 rows) broadcast-joined into the doc store."""
         cols = columns or ["doc_id", "uuid", "repo", "path", "lang"]
         return F.broadcast(topk).join(self.reader.docs.select(*cols), "doc_id")
+
+    def hydrate_ids(self, ids: list[int],
+                    columns: list[str] | None = None) -> dict[int, dict]:
+        """J5 when the winner ids are already on the driver (segment path):
+        a single isin-filtered scan of the doc store — docs/ is range-
+        partitioned + sorted by doc_id, so parquet row-group min/max stats
+        prune the scan to the few groups holding the winners (the analog of
+        the reference's per-id offset lookup, readerwriter.rs:61-66). No
+        join, no broadcast, one job."""
+        if not ids:
+            return {}
+        cols = columns or ["doc_id", "uuid", "repo", "path", "lang"]
+        rows = (self.reader.docs.filter(F.col("doc_id").isin([int(i) for i in ids]))
+                .select(*cols).collect())
+        return {int(r["doc_id"]): r.asDict() for r in rows}

@@ -533,28 +533,45 @@ class FastTopK:
         kernel = make_kernel(node, idfs, self.avgdl_by_field, k,
                              after, ascending, seed_min=seed_min)
         seg = self._segments_for(live)
-        out = (seg.groupBy("shard")
-               .applyInPandas(kernel, KERNEL_SCHEMA).persist())
+        # ONE job: collect the kernel output (≤ k+1 rows per matched shard)
+        # and merge on the driver — exactly the reference's merge_fruits
+        # (tique top_collector.rs:180-182 re-heaps per-segment results on
+        # the calling thread). Shard count scales with cluster parallelism
+        # (span = n_docs/(parallelism·4)), so the collected frame stays
+        # driver-sized even at 10^12 docs; a persist + TakeOrdered + count
+        # formulation costs two extra scheduler round-trips per query.
+        # latency knobs for this tiny-shuffle job (measured at local[32],
+        # hot term: AQE's extra re-plan round-trip + 32 micro-reducers cost
+        # ~0.4s; 8 reducers with AQE off run the same job in ~0.85s):
+        # reducer count scales with cluster width, AQE re-enabled after.
+        spark = self.reader.spark
+        conf = spark.conf
+        old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+        old_shuf = conf.get("spark.sql.shuffle.partitions")
+        par = spark.sparkContext.defaultParallelism
         try:
-            order = (F.asc("score") if ascending else F.desc("score"))
-            rows = (out.filter(F.col("doc_id") >= 0)
-                    .select("doc_id", F.col("score").cast("float").alias("score"))
-                    .orderBy(order, F.asc("doc_id")).limit(k).collect())
-            tot = (out.groupBy("shard")
-                   .agg(F.max("shard_total").alias("t"),
-                        F.max("shard_visited").alias("v"),
-                        F.max("blocks_total").alias("bt"),
-                        F.max("blocks_scored").alias("bs"))
-                   .agg(F.sum("t").alias("total"), F.sum("v").alias("visited"),
-                        F.sum("bt").alias("bt"), F.sum("bs").alias("bs"))
-                   .collect()[0])
+            conf.set("spark.sql.adaptive.enabled", "false")
+            conf.set("spark.sql.shuffle.partitions", str(max(8, par // 4)))
+            pdf = (seg.groupBy("shard")
+                   .applyInPandas(kernel, KERNEL_SCHEMA).toPandas())
         finally:
-            out.unpersist()
-        return KernelResult(
-            total=int(tot["total"] or 0), visited=int(tot["visited"] or 0),
-            hits=[(int(r["doc_id"]), float(r["score"])) for r in rows],
-            blocks_total=int(tot["bt"] or 0),
-            blocks_scored=int(tot["bs"] or 0))
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+            conf.set("spark.sql.shuffle.partitions", old_shuf)
+        if not len(pdf):
+            return KernelResult(0, 0, [])
+        per_shard = pdf.groupby("shard").first()
+        total = int(per_shard["shard_total"].sum())
+        visited = int(per_shard["shard_visited"].sum())
+        bt = int(per_shard["blocks_total"].sum())
+        bs = int(per_shard["blocks_scored"].sum())
+        hits_pdf = pdf[pdf["doc_id"] >= 0]
+        docs = hits_pdf["doc_id"].to_numpy(np.int64)
+        scores = hits_pdf["score"].to_numpy(np.float64)  # f32-valued
+        key = scores.astype(np.float32)
+        order = np.lexsort((docs, key if ascending else -key))[:k]
+        hits = [(int(docs[i]), float(np.float32(scores[i]))) for i in order]
+        return KernelResult(total=total, visited=visited, hits=hits,
+                            blocks_total=bt, blocks_scored=bs)
 
     # ------------------------------------------------- legacy test surface
     def topk(self, field: str, terms: list[str], k: int = 10,
