@@ -123,11 +123,12 @@ def main() -> None:
         # single-shot timings vary ±2×. Methodology: best-of-2 per config
         # with cool-downs between runs (documented in BASELINE.md).
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
         small = max(2, CPUS // 4)
         fps: dict[int, float] = {}
         for cores in (small, CPUS):
             best = 0.0
-            for _ in range(2):
+            for _ in range(runs):
                 time.sleep(30)
                 best = max(best, measure_build(cores, n_scale))
             fps[cores] = round(best, 1)

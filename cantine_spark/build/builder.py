@@ -305,8 +305,11 @@ class IndexBuilder:
                     max(4, spark.sparkContext.defaultParallelism // 2),
                     "doc_id").sortWithinPartitions(
                     "doc_id").write.mode("overwrite").parquet(path)
-            rows = spark.read.parquet(path).count()
-            stage_metrics = {"rows": rows, "seconds": round(time.time() - t0, 3)}
+            # docs/docmeta rows == n_docs by construction; postings rows are
+            # derived from term_stats (Σdf) below — a count() here re-reads
+            # the whole table just for a metric (measured ~6s at 800k docs)
+            stage_metrics = {"rows": n_docs if name != "postings" else None,
+                             "seconds": round(time.time() - t0, 3)}
             metrics[name] = stage_metrics
             _mark_stage(path, fingerprint, stage_metrics)
             self.stages_run.append(name)
@@ -354,13 +357,16 @@ class IndexBuilder:
         if force or not _stage_done(is_path, fingerprint):
             dm = spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
             # integer sum of doc lengths → avgdl is bit-deterministic
-            # regardless of partitioning (SURVEY §7.4 risk 1)
+            # regardless of partitioning (SURVEY §7.4 risk 1); ONE agg job
+            # covers every field
+            agg = dm.agg(F.count("*").alias("n"),
+                         *[F.sum(f"doc_len_{fld}").alias(f"t_{fld}")
+                           for fld in TEXT_FIELDS]).collect()[0]
             rows = []
             for fld in TEXT_FIELDS:
-                agg = dm.agg(F.count("*").alias("n"),
-                             F.sum(f"doc_len_{fld}").alias("total")).collect()[0]
-                rows.append((fld, int(agg["n"]), int(agg["total"] or 0),
-                             float(agg["total"] or 0) / max(int(agg["n"]), 1)))
+                total = int(agg[f"t_{fld}"] or 0)
+                rows.append((fld, int(agg["n"]), total,
+                             total / max(int(agg["n"]), 1)))
             spark.createDataFrame(
                 rows, "field string, n_docs long, total_len long, avgdl double"
             ).coalesce(1).write.mode("overwrite").parquet(is_path)
@@ -382,9 +388,14 @@ class IndexBuilder:
         else:
             self.stages_skipped.append("segments")
 
-        # per-partition metrics: rows per bucket (skew visibility)
+        # per-partition metrics: rows per bucket (skew visibility) — derived
+        # from term_stats (Σdf per bucket, a 64-group agg over the small
+        # stats table) instead of re-scanning the whole postings table
+        ts = spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
         bucket_rows = {int(r["bucket"]): int(r["cnt"]) for r in
-                       post.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+                       ts.groupBy("bucket").agg(F.sum("df").alias("cnt")).collect()}
+        if "postings" in metrics:
+            metrics["postings"]["rows"] = sum(bucket_rows.values())
         manifest = {
             "version": 1,
             "fingerprint": fingerprint,

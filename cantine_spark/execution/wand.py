@@ -110,8 +110,8 @@ def segment_eligible(node: QueryNode) -> bool:
 class _TermData:
     """Per-(field,term) decoded state within one shard, decode-lazy."""
 
-    __slots__ = ("docs", "blk", "row_start", "tfn_ub", "rows", "tf", "dl",
-                 "decoded", "pos_cache")
+    __slots__ = ("docs", "blk", "row_start", "row_end", "tfn_ub", "rows",
+                 "tf", "dl", "decoded", "pos_cache")
 
     def __init__(self, pdf: pd.DataFrame, row_idx: np.ndarray):
         # row_idx: indices into pdf for this term's blocks, first_doc-sorted
@@ -122,7 +122,9 @@ class _TermData:
         self.docs = (np.concatenate(parts) if parts
                      else np.empty(0, np.int64))
         self.blk = np.repeat(np.arange(len(row_idx)), n_per)
-        self.row_start = np.concatenate(([0], np.cumsum(n_per)))[:-1]
+        bounds = np.concatenate(([0], np.cumsum(n_per)))
+        self.row_start = bounds[:-1]
+        self.row_end = bounds[1:]
         self.tfn_ub = np.repeat(pdf["max_tfnorm"].to_numpy()[row_idx], n_per)
         self.tf = np.zeros(len(self.docs), dtype=np.float64)
         self.dl = np.zeros(len(self.docs), dtype=np.float64)
@@ -260,7 +262,7 @@ class _ShardEval:
                 blob = self.pdf["positions"].iat[r] or b""
                 arr = np.frombuffer(blob, dtype="<i4")
                 s = td.row_start[r_local]
-                e = s + int((td.blk == r_local).sum())
+                e = td.row_end[r_local]
                 offs = np.concatenate(
                     ([0], np.cumsum(td.tf[s:e]))).astype(np.int64)
                 cached = (arr, offs, s)
