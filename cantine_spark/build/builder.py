@@ -347,6 +347,15 @@ class IndexBuilder:
              .repartition(self.n_buckets, "ubucket")
              .sortWithinPartitions("ubucket", "uuid")
              .write.mode("overwrite").partitionBy("ubucket").parquet(um_path))
+            # ingest-time uniqueness gate: duplicate (repo, path) rows would
+            # share a uuid and make cursor resumes ambiguous (the reference's
+            # HashMap silently last-wins, readerwriter.rs:40-47 — we refuse)
+            dup = (spark.read.parquet(um_path).groupBy("uuid")
+                   .count().filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"duplicate document identity (repo, path): uuid "
+                    f"{dup[0]['uuid']!r} maps to {dup[0]['count']} doc_ids")
             _mark_stage(um_path, fingerprint,
                         {"seconds": round(time.time() - t0, 3)})
             self.stages_run.append("uuid_map")

@@ -143,3 +143,16 @@ def test_merge_unaligned_spans_reshards_per_posting(spark, split_env,
     meta2 = merge_segments(spark, [os.path.join(h, "segments") for h in halves],
                            out2, avgdl, 80)
     assert meta2["aligned_fast_path"] is True
+
+
+def test_build_rejects_duplicate_identity(spark, tmp_path_factory):
+    """Two rows with the same (repo, path) share a uuid — cursor resumes
+    would be ambiguous, so the build must refuse (the reference's uuid
+    HashMap silently last-wins; we fail loudly)."""
+    d = str(tmp_path_factory.mktemp("dupidx"))
+    corpus = with_doc_ids(generate_corpus(spark, 20, partitions=2))
+    dup = corpus.unionByName(
+        corpus.filter(F.col("doc_id") == 0).withColumn(
+            "doc_id", F.lit(999).cast("long")))
+    with pytest.raises(ValueError, match="duplicate document identity"):
+        IndexBuilder(spark, d).build(dup)
