@@ -1,0 +1,99 @@
+"""spark-submit entry point — build an index / serve queries from the CLI.
+
+The north rule's deployment shape: the whole pipeline runs via
+
+  zip -r cantine_spark.zip cantine_spark
+  spark-submit --py-files cantine_spark.zip scripts/cantine_submit.py \
+      build --corpus s3://bucket/corpus_parquet --index s3://bucket/idx
+
+  spark-submit --py-files cantine_spark.zip scripts/cantine_submit.py \
+      search --index s3://bucket/idx --query '{"fulltext": "+parser -lex"}'
+
+Under spark-submit the session comes from the submitted conf (master,
+executors, memory are the cluster's business); `--local N` forces the
+sandbox's tuned local[N] session instead (bench/test parity).
+
+The corpus parquet must have the input_hint schema:
+(repo string, path string, commit string, lang string, content string).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(args):
+    if args.local:
+        from cantine_spark.session import get_spark
+        return get_spark("cantine-submit", cores=args.local,
+                         shuffle_partitions=args.local)
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.appName("cantine-submit")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.adaptive.enabled", "true")
+            .getOrCreate())
+
+
+def cmd_build(args) -> int:
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.corpus import with_doc_ids
+    spark = _session(args)
+    corpus = spark.read.parquet(args.corpus)
+    manifest = build_index(spark, with_doc_ids(corpus), args.index,
+                           force=args.force)
+    print(json.dumps({"n_docs": manifest["n_docs"],
+                      "stages_run": manifest["stages_run"],
+                      "stages_skipped": manifest["stages_skipped"],
+                      "metrics": manifest["metrics"]}, default=str))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from cantine_spark.api import BadRequest, SearchEngine
+    from cantine_spark.index import IndexReader
+    spark = _session(args)
+    engine = SearchEngine(IndexReader(spark, args.index),
+                          agg_threshold=args.agg_threshold)
+    try:
+        query = json.loads(args.query)
+    except json.JSONDecodeError as e:
+        print(f"bad --query JSON: {e}", file=sys.stderr)
+        return 2
+    try:
+        res = engine.search(query)
+    except BadRequest as e:           # the 400 analog
+        print(f"bad request: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps({
+        "total_found": res.total_found,
+        "items": res.items,
+        "next": res.next,
+        "agg": ({k: [vars(s) for s in v] for k, v in res.agg.items()}
+                if res.agg else None),
+    }, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="cantine_submit")
+    p.add_argument("--local", type=int, default=0,
+                   help="force a tuned local[N] session (sandbox mode)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="build/refresh an index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--force", action="store_true")
+    b.set_defaults(fn=cmd_build)
+    s = sub.add_parser("search", help="run one SearchQuery JSON")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--agg-threshold", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
