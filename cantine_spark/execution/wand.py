@@ -41,6 +41,11 @@ adjacency is one np.intersect1d chain over (doc_idx << 32 | position) keys.
 Scores are float64 in-kernel, cast to float32 before heap comparisons and
 at the boundary — identical discipline to the relational path
 (execution/scoring.py), so both paths emit bit-identical results.
+
+Kernel memory scales with docs-per-shard, not corpus size: a hot term's
+per-shard arrays are ≤ span × ~24 B (ids + bounds + block map). span
+defaults to n_docs/(4·parallelism), so growing the cluster shrinks the
+per-kernel working set; size span explicitly when executors are small.
 """
 
 from __future__ import annotations

@@ -110,6 +110,16 @@ def _engine(spark, sf_dir):
         "CANTINE_IDX_CACHE",
         _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".idx_cache"))
+    try:
+        _os.makedirs(root, exist_ok=True)
+        probe = _os.path.join(root, ".w")
+        with open(probe, "w") as fh:
+            fh.write("")
+        _os.remove(probe)
+    except OSError:  # read-only checkout → per-process temp cache
+        import tempfile as _tf
+        root = _os.path.join(_tf.gettempdir(), "cantine_idx_cache")
+        _os.makedirs(root, exist_ok=True)
     idx_dir = _os.path.join(root, key.strip("/").replace("/", "_"))
     corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"),
