@@ -115,6 +115,12 @@ def check_sim(reader: IndexReader, sample_doc_ids: list[int],
     from cantine_spark.execution.executor import SearchExecutor
     tt = TopTerms(reader)
     ex = SearchExecutor(reader)
+    # MLT queries are Boolean(shoulds=(Boost(Term)…)) — segment-eligible, so
+    # the harness runs on the engine's default path when segments exist
+    fast = None
+    if reader.has_segments:
+        from cantine_spark.execution.wand import FastTopK
+        fast = FastTopK(reader, executor=ex)
     docs_pdf = (reader.docs.select("doc_id", "repo")
                 .toPandas().set_index("doc_id"))
     repo_groups = docs_pdf.groupby("repo").groups
@@ -128,13 +134,16 @@ def check_sim(reader: IndexReader, sample_doc_ids: list[int],
         same_repo = set(repo_groups.get(row["repo"], [])) - {doc_id}
         for name, q in [("plain", into_query(kws)),
                         ("boosted", into_boosted_query(kws, 1.5))]:
-            m = ex.matches(q)
-            if m is None:
-                rec[f"{name}_self_rank"] = None
-                rec[f"{name}_recall"] = 0.0
-                continue
-            top = ex.top_k(m, limit).collect()
-            ids = [int(r["doc_id"]) for r in top]
+            if fast is not None and kws:
+                ids = [d for d, _ in fast.search(q, k=limit).hits]
+            else:
+                m = ex.matches(q)
+                if m is None:
+                    rec[f"{name}_self_rank"] = None
+                    rec[f"{name}_recall"] = 0.0
+                    continue
+                top = ex.top_k(m, limit).collect()
+                ids = [int(r["doc_id"]) for r in top]
             rec[f"{name}_self_rank"] = (
                 ids.index(doc_id) if doc_id in ids else None)
             rec[f"{name}_recall"] = (
