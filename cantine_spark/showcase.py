@@ -103,7 +103,10 @@ def _engine(spark, sf_dir):
     from cantine_spark.api import SearchEngine
     from cantine_spark.build.builder import build_index
     from cantine_spark.index import IndexReader
-    key = _os.path.abspath(sf_dir)
+    # key by (session, dir): a cached engine holds DataFrames bound to ONE
+    # SparkSession — returning it to a different/restarted session would
+    # crash on dead JVM references
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
     root = _os.environ.get(
@@ -120,7 +123,7 @@ def _engine(spark, sf_dir):
         import tempfile as _tf
         root = _os.path.join(_tf.gettempdir(), "cantine_idx_cache")
         _os.makedirs(root, exist_ok=True)
-    idx_dir = _os.path.join(root, key.strip("/").replace("/", "_"))
+    idx_dir = _os.path.join(root, key[1].strip("/").replace("/", "_"))
     corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit("testdata").alias("repo"),
