@@ -405,6 +405,20 @@ class IndexBuilder:
                        ts.groupBy("bucket").agg(F.sum("df").alias("cnt")).collect()}
         if "postings" in metrics:
             metrics["postings"]["rows"] = sum(bucket_rows.values())
+        # patch the persisted postings stage marker with the Σdf-derived row
+        # count (the marker is written before the count exists; without this
+        # a resumed build that skips the stage never records it — ADVICE r2)
+        post_path = os.path.join(self.index_dir, "postings")
+        try:
+            with open(_stage_marker(post_path)) as f:
+                pm = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pm = None
+        if pm is not None and pm.get("fingerprint") == fingerprint:
+            pmm = pm.get("metrics") or {}
+            if pmm.get("rows") is None:
+                pmm["rows"] = sum(bucket_rows.values())
+                _mark_stage(post_path, fingerprint, pmm)
         manifest = {
             "version": 1,
             "fingerprint": fingerprint,

@@ -135,6 +135,13 @@ def _encode_sorted(pdf: pd.DataFrame, avgdl: dict) -> pd.DataFrame:
         return [buf[a:b] for a, b in zip(offs[bstart], offs[bend])]
 
     pbuf = b"".join(pdf["positions"].tolist())
+    if len(pbuf) != 4 * int(tfs.sum()):
+        # every posting blob must be exactly 4·tf bytes (<i4 per occurrence);
+        # a malformed postings table must fail AT BUILD TIME — a silent
+        # misalignment here would corrupt phrase results only at query time
+        raise ValueError(
+            f"positions blob misaligned: {len(pbuf)} bytes != "
+            f"4 * sum(tf) = {4 * int(tfs.sum())}")
     poffs = np.concatenate(([0], np.cumsum(tfs * 4)))
     pos_slices = [pbuf[a:b] for a, b in zip(poffs[bstart], poffs[bend])]
 

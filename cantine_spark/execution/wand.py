@@ -237,6 +237,12 @@ class _ShardEval:
         starts = None
         for i, ft in enumerate(fts):
             keys = self._position_keys(ft, inter)
+            if i:
+                # only positions >= i can start-align; subtracting i from a
+                # smaller position would borrow into the doc-index bits of
+                # the packed (doc_idx << 32 | pos) key (ADVICE r2) — exclude
+                # them by construction instead of relying on magnitudes
+                keys = keys[(keys & np.int64(0xFFFFFFFF)) >= i]
             adj = keys - i
             starts = adj if starts is None else np.intersect1d(
                 starts, adj, assume_unique=True)

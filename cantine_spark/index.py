@@ -89,6 +89,13 @@ class IndexReader:
 
     @cached_property
     def uuid_map(self) -> DataFrame:
+        # graceful on pre-uuid_map indexes: a missing directory must raise a
+        # typed SchemaMismatch (not a raw AnalysisException from the parquet
+        # reader) so id_for_uuid can fall back to a doc-store scan (ADVICE r2)
+        if not os.path.isdir(os.path.join(self.index_dir, "uuid_map")):
+            raise SchemaMismatch(
+                "index predates uuid_map (no uuid_map/ directory); rebuild "
+                "for O(1) cursor resolution")
         return self.table("uuid_map")
 
     @property
@@ -121,14 +128,21 @@ class IndexReader:
         analog of the reference's O(1) uuid HashMap (readerwriter.rs:30-55).
         The bucket is computed driver-side (pure-Python xxhash64 parity with
         the build-side Spark expression), so the scan reads ONE bucket
-        directory regardless of corpus size. Raises on duplicate uuids — a
-        cursor must never silently resume from the wrong doc."""
-        from cantine_spark.functions.xxhash import spark_xxhash64_strings
-        n_buckets = int(self.manifest.get("n_buckets", 64))
-        b = spark_xxhash64_strings(uuid) % n_buckets
-        rows = (self.uuid_map
-                .filter((F.col("ubucket") == b) & (F.col("uuid") == uuid))
-                .limit(2).collect())
+        directory regardless of corpus size. Indexes built before uuid_map
+        existed fall back to a (full) doc-store scan rather than erroring.
+        Raises on duplicate uuids — a cursor must never silently resume from
+        the wrong doc."""
+        try:
+            um = self.uuid_map
+        except SchemaMismatch:
+            rows = (self.docs.filter(F.col("uuid") == uuid)
+                    .select("doc_id").limit(2).collect())
+        else:
+            from cantine_spark.functions.xxhash import spark_xxhash64_strings
+            n_buckets = int(self.manifest.get("n_buckets", 64))
+            b = spark_xxhash64_strings(uuid) % n_buckets
+            rows = (um.filter((F.col("ubucket") == b) & (F.col("uuid") == uuid))
+                    .limit(2).collect())
         if not rows:
             return None
         if len(rows) > 1:

@@ -43,3 +43,26 @@ def test_compression_wins_on_dense_ids():
     ids = np.arange(10_000, dtype=np.uint64) * 3 + 1_000_000
     enc = encode_deltas(ids)
     assert len(enc) < len(ids) * 2  # gaps of 3 → ~1 byte each + header
+
+
+def test_encode_sorted_rejects_misaligned_positions():
+    """ADVICE r2: a posting whose positions blob is not exactly 4·tf bytes
+    must fail at BUILD time, not corrupt phrase results at query time."""
+    import pandas as pd
+    import pytest
+
+    from cantine_spark.build.segments import _encode_sorted
+
+    good = pd.DataFrame({
+        "field": ["content"] * 2, "term": ["x"] * 2, "shard": [0, 0],
+        "doc_id": [1, 2], "tf": [2, 1], "dl": [5, 5],
+        "positions": [np.array([0, 3], "<i4").tobytes(),
+                      np.array([1], "<i4").tobytes()],
+    })
+    out = _encode_sorted(good, {"content": 5.0})
+    assert len(out) == 1 and int(out["n_docs"].iat[0]) == 2
+
+    bad = good.copy()
+    bad.loc[1, "positions"] = b""  # position-less row in a positional table
+    with pytest.raises(ValueError, match="positions blob misaligned"):
+        _encode_sorted(bad, {"content": 5.0})

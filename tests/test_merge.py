@@ -156,3 +156,47 @@ def test_build_rejects_duplicate_identity(spark, tmp_path_factory):
             "doc_id", F.lit(999).cast("long")))
     with pytest.raises(ValueError, match="duplicate document identity"):
         IndexBuilder(spark, d).build(dup)
+
+
+def test_postings_marker_records_row_count(spark, tmp_path_factory):
+    """ADVICE r2: the postings stage marker must carry the Σdf-derived row
+    count (patched after term_stats exists), so a resumed build that skips
+    the stage still has it on disk."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("marker"))
+    corpus = with_doc_ids(generate_corpus(spark, 60, partitions=2)).persist()
+    IndexBuilder(spark, d).build(corpus)
+    marker_path = os.path.join(d, "postings", "_STAGE_OK.json")
+    with open(marker_path) as f:
+        m1 = json.load(f)
+    rows = m1["metrics"]["rows"]
+    assert isinstance(rows, int) and rows > 0
+    # resumed build (all stages skipped) keeps the patched count intact
+    b2 = IndexBuilder(spark, d)
+    b2.build(corpus)
+    assert "postings" in b2.stages_skipped
+    with open(marker_path) as f:
+        m2 = json.load(f)
+    assert m2["metrics"]["rows"] == rows
+    corpus.unpersist()
+
+
+def test_uuid_resolution_on_index_without_uuid_map(spark, index_dir,
+                                                   tmp_path_factory):
+    """ADVICE r2: opening an index that predates uuid_map must not crash
+    cursor resolution with a raw AnalysisException — id_for_uuid falls back
+    to a doc-store scan; the uuid_map property raises a typed error."""
+    import shutil
+
+    from cantine_spark.index import SchemaMismatch
+
+    d = str(tmp_path_factory.mktemp("legacy") / "idx")
+    shutil.copytree(index_dir, d)
+    shutil.rmtree(os.path.join(d, "uuid_map"))
+    r = IndexReader(spark, d)
+    with pytest.raises(SchemaMismatch, match="predates uuid_map"):
+        _ = r.uuid_map
+    row = r.docs.orderBy("doc_id").limit(1).collect()[0]
+    assert r.id_for_uuid(row["uuid"]) == int(row["doc_id"])
+    assert r.id_for_uuid("00000000000000000000000000000000") is None
