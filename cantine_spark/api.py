@@ -176,22 +176,34 @@ class SearchEngine:
 
     # ------------------------------------------------------- segment search
     def _search_segments(self, node: QueryNode, k: int,
-                         after: tuple | None,
-                         query: SearchQuery) -> SearchResult:
-        """Relevance search on the block-max kernel: one applyInPandas job
-        for candidates+prune+heap, one broadcast hydration for the ≤255
-        winners. total/visited are exact (kernel counts from doc ids)."""
+                         after: tuple | None, query: SearchQuery,
+                         preds: list | None = None,
+                         sort_feature: str | None = None) -> SearchResult:
+        """Search on the block-max kernel: one applyInPandas job for
+        candidates+filter+prune+heap (range filters ride a shard-cogrouped
+        docmeta projection; field sorts rank in-kernel by the fast-field
+        value), one pruned isin-scan hydration for the ≤255 winners.
+        total/visited are exact (kernel counts from doc ids)."""
         res = self._fast.search(node, k=k, after=after,
-                                ascending=query.ascending)
+                                ascending=query.ascending,
+                                preds=preds, sort_feature=sort_feature)
+        feat = self.features[sort_feature] if sort_feature else None
         items: list[dict] = []
         if res.hits:
-            # hits are already kernel-ordered (score f32, doc_id tiebreak);
+            # hits are already kernel-ordered (sort key, doc_id tiebreak);
             # hydration is one pruned isin-scan of the doc store
             by_id = self.executor.hydrate_ids([d for d, _ in res.hits])
-            items = [{"doc_id": d, "uuid": by_id[d]["uuid"],
-                      "repo": by_id[d]["repo"], "path": by_id[d]["path"],
-                      "lang": by_id[d]["lang"],
-                      "score": s, "sort_val": s} for d, s in res.hits]
+            for i, (d, s) in enumerate(res.hits):
+                if sort_feature is None:
+                    sv: float | int = s
+                else:
+                    sv = res.sort_vals[i]
+                    sv = int(sv) if feat.kind == "u64" else float(sv)
+                items.append({"doc_id": d, "uuid": by_id[d]["uuid"],
+                              "repo": by_id[d]["repo"],
+                              "path": by_id[d]["path"],
+                              "lang": by_id[d]["lang"],
+                              "score": s, "sort_val": sv})
         next_cursor = None
         if res.visited - len(items) > 0 and items:
             last = items[-1]
@@ -210,16 +222,21 @@ class SearchEngine:
         node, preds = self.interpret(query)
         after = self._decode_after(query)
 
-        # DEFAULT PATH: relevance queries over pure term/phrase trees run on
-        # the compressed block-max segments (the reference's searcher IS its
-        # segment reader, cantine/src/index.rs:69-129). The relational
-        # postings path remains for field sorts, range filters, aggregations
-        # and match-all/pure-negative trees.
+        # DEFAULT PATH: every fulltext query over a pure term/phrase tree —
+        # relevance or field-sorted, filtered or not — runs on the
+        # compressed block-max segments (the reference's searcher IS its
+        # segment reader, cantine/src/index.rs:69-129; filters are Must
+        # clauses of the ONE segment query, main.rs:152-172). The relational
+        # postings path remains only for aggregations and match-all /
+        # pure-negative trees (zero-token docs never appear in segments).
         if (self._fast is not None
-                and (query.sort in (None, "relevance"))
-                and not preds and not query.agg
+                and not query.agg
                 and segment_eligible(node)):
-            return self._search_segments(node, k, after, query)
+            sort_feature = (None if query.sort in (None, "relevance")
+                            else query.sort)
+            return self._search_segments(node, k, after, query,
+                                         preds=preds,
+                                         sort_feature=sort_feature)
 
         matched = self._matched(node, preds)
         if matched is None:

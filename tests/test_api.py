@@ -183,7 +183,15 @@ def test_segment_kernel_is_default_path(engine, monkeypatch):
     assert r2.items and not (
         {i["doc_id"] for i in r.items} & {i["doc_id"] for i in r2.items})
 
-    # ineligible shapes (field sort / filter / match-all) fall back — and
+    # r3: filtered and field-sorted fulltext now stay on the kernel too
+    # (VERDICT r2 next-round items 1 & 3)
+    r3 = engine.search({"fulltext": "def", "sort": "num_lines",
+                        "filter": {"num_lines": [5, 60]}, "num_items": 5})
+    assert r3.items and all(5 <= i["sort_val"] < 60 for i in r3.items)
+
+    # truly ineligible shapes (match-all, aggregations) fall back — and
     # with frame() broken they must raise our sentinel, proving the split
     with pytest.raises(AssertionError, match="relational frame"):
-        engine.search({"fulltext": "def", "sort": "num_lines"})
+        engine.search({"filter": {"num_lines": [0, 50]}})  # match-all
+    with pytest.raises(AssertionError, match="relational frame"):
+        engine.search({"fulltext": "def", "agg": {"num_lines": [[0, 50]]}})

@@ -288,3 +288,91 @@ def test_concurrent_queries_leave_session_conf_alone(spark, executor, fast):
     assert conf.get("spark.sql.shuffle.partitions") == shuf_before
     # the tuned clone keeps its knobs (sanity that isolation is two-way)
     assert fast._sess.conf.get("spark.sql.adaptive.enabled") == "false"
+
+
+# ---------------------------------------------------------------------------
+# filtered / field-sorted fulltext on the cogrouped kernel (r3)
+# ---------------------------------------------------------------------------
+
+
+def _engines(reader):
+    from cantine_spark.api import SearchEngine
+    eng_k = SearchEngine(reader)
+    assert eng_k._fast is not None
+    eng_r = SearchEngine(reader)
+    eng_r._fast = None  # force the relational reference path
+    return eng_k, eng_r
+
+
+FILTERED_QUERIES = [
+    {"fulltext": "def", "filter": {"num_lines": [5, 40]}, "num_items": 7},
+    {"fulltext": "def return",
+     "filter": {"num_lines": [0, 60], "content_bytes": [0, 5000]}},
+    {"fulltext": "+def -import", "filter": {"num_lines": [0, 100]}},
+    {"fulltext": '"def parse00001"', "filter": {"num_lines": [0, 500]}},
+    {"fulltext": "def", "filter": {"num_lines": [10**6, 10**7]}},  # empty
+]
+
+SORTED_QUERIES = [
+    {"fulltext": "def", "sort": "num_lines", "num_items": 9},
+    {"fulltext": "def", "sort": "num_lines", "ascending": True},
+    {"fulltext": "def", "sort": "num_lines", "filter": {"num_lines": [3, 50]}},
+    {"fulltext": "def", "sort": "avg_line_len", "num_items": 6},   # f64 kind
+    {"fulltext": "def", "sort": "num_functions", "num_items": 8},  # nullable
+]
+
+
+@pytest.mark.parametrize("q", FILTERED_QUERIES)
+def test_kernel_filtered_matches_relational(reader, q):
+    """Range filters run IN the segment kernel (shard-cogrouped docmeta ids
+    intersected like a Must clause) and must equal the relational engine:
+    same totals, same top-k up to f32 score ties."""
+    eng_k, eng_r = _engines(reader)
+    a, b = eng_k.search(dict(q)), eng_r.search(dict(q))
+    assert a.total_found == b.total_found
+    assert_same(
+        (a.total_found, [(i["doc_id"], i["score"]) for i in a.items]),
+        (b.total_found, [(i["doc_id"], i["score"]) for i in b.items]))
+
+
+@pytest.mark.parametrize("q", SORTED_QUERIES)
+def test_kernel_field_sort_matches_relational(reader, q):
+    """Field-sorted fulltext ranks in-kernel by the docmeta fast-field value
+    (missing → 0 fill) with doc_id-asc tie-break: items must be IDENTICAL to
+    the relational path — (doc_id, sort_val) exactly, scores f32-close."""
+    eng_k, eng_r = _engines(reader)
+    a, b = eng_k.search(dict(q)), eng_r.search(dict(q))
+    assert a.total_found == b.total_found
+    assert ([(i["doc_id"], i["sort_val"]) for i in a.items]
+            == [(i["doc_id"], i["sort_val"]) for i in b.items])
+    for ia, ib in zip(a.items, b.items):
+        assert np.isclose(ia["score"], ib["score"], rtol=1e-6, atol=1e-9)
+        assert type(ia["sort_val"]) is type(ib["sort_val"])
+
+
+def test_kernel_pagination_filtered_sorted_exhaustive(reader):
+    """Cursor-walk a filtered, field-sorted query to exhaustion on BOTH
+    engines: identical pages at every step, no overlap, equal totals."""
+    eng_k, eng_r = _engines(reader)
+    base = {"fulltext": "def", "sort": "num_lines",
+            "filter": {"num_lines": [2, 80]}, "num_items": 4}
+    seen: set[int] = set()
+    cur_k = cur_r = None
+    for _ in range(100):
+        qk, qr = dict(base), dict(base)
+        if cur_k is not None:
+            qk["after"], qr["after"] = cur_k, cur_r
+        rk, rr = eng_k.search(qk), eng_r.search(qr)
+        assert rk.total_found == rr.total_found
+        assert ([(i["doc_id"], i["sort_val"]) for i in rk.items]
+                == [(i["doc_id"], i["sort_val"]) for i in rr.items])
+        ids = {i["doc_id"] for i in rk.items}
+        assert not (ids & seen), "pages must not overlap"
+        seen |= ids
+        assert (rk.next is None) == (rr.next is None)
+        if rk.next is None:
+            break
+        cur_k, cur_r = rk.next, rr.next
+    else:
+        raise AssertionError("pagination did not terminate")
+    assert len(seen) == rk.total_found
