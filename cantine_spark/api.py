@@ -28,9 +28,9 @@ from cantine_spark.cursor import (
     TAG_F64, TAG_RELEVANCE, TAG_U64, InvalidCursor, SearchCursor,
 )
 from cantine_spark.execution.executor import SearchExecutor
-from cantine_spark.execution.wand import FastTopK, segment_eligible
+from cantine_spark.execution.wand import FastTopK, KernelResult, segment_eligible
 from cantine_spark.index import IndexReader
-from cantine_spark.plans.nodes import All, Boolean, QueryNode
+from cantine_spark.plans.nodes import All, Boolean, QueryNode, simplify
 from cantine_spark.queryparser.parser import QueryParser
 
 MAX_ITEMS = 255          # u8 page cap (model.rs:192)
@@ -211,6 +211,26 @@ class SearchEngine:
                 query.sort, last["sort_val"], last["uuid"])
         return SearchResult(items=items, total_found=res.total,
                             next=next_cursor)
+
+    # ----------------------------------------------------------- search_node
+    def search_node(self, node: QueryNode, k: int = DEFAULT_ITEMS,
+                    ascending: bool = False) -> KernelResult:
+        """Programmatic query-tree search — the public surface for custom
+        query plans (U1/U2 hooks, MLT-generated trees, the showcase's
+        term-level DisMax). Evaluates an arbitrary QueryNode on the engine's
+        default path: the segment kernel when the tree is eligible, the
+        relational executor otherwise. Returns (total, visited,
+        [(doc_id, f32 score)])."""
+        node = simplify(node)
+        if self._fast is not None and segment_eligible(node):
+            return self._fast.search(node, k=k, ascending=ascending)
+        m = self.executor.matches(node)
+        if m is None:
+            return KernelResult(0, 0, [])
+        total = int(m.count())
+        rows = self.executor.top_k(m, k, ascending=ascending).collect()
+        hits = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        return KernelResult(total=total, visited=total, hits=hits)
 
     # ---------------------------------------------------------------- search
     def search(self, query: SearchQuery | dict) -> SearchResult:

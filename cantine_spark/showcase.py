@@ -491,12 +491,13 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 def bm25_dismax(spark, sf_dir, t1="spark", t2="stream",
                 tiebreaker=0.1, k=10) -> DataFrame:
-    """J3/C2 through the real engine: a term-level DisMax plan evaluated by
-    the segment kernel (mx + (sum-mx)·tiebreaker, dismax.rs:19-35)."""
+    """J3/C2 through the real engine: a term-level DisMax plan evaluated via
+    the public search_node surface (routes to the segment kernel;
+    mx + (sum-mx)·tiebreaker, dismax.rs:19-35)."""
     from cantine_spark.plans.nodes import DisMax, Term
     eng = _engine(spark, sf_dir)
     node = DisMax((Term("content", t1), Term("content", t2)), tiebreaker)
-    res = eng._fast.search(node, k=k)
+    res = eng.search_node(node, k=k)
     items = [{"doc_id": d, "score": sc} for d, sc in res.hits]
     return _items_df(spark, items)
 
@@ -645,6 +646,62 @@ SELECT doc_id, CAST(cb AS BIGINT) AS content_bytes,
        ROUND(CAST(s32 AS DOUBLE), 5) AS score
 FROM scored ORDER BY cb DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+# ======================================================================
+# C4: TopTerms keyword extraction (tf·idf over one doc, df from term_stats)
+# ======================================================================
+
+TOPTERMS_DOC_ID = 7
+TOPTERMS_LIMIT = 15
+
+
+def top_terms(spark, sf_dir, doc_id=TOPTERMS_DOC_ID,
+              limit=TOPTERMS_LIMIT) -> DataFrame:
+    """C4 through the REAL engine (VERDICT r2 next-round #7): keyword
+    score = tf_in_input · ln(1+(N−df+0.5)/(df+0.5)) with df from the
+    engine's bucket-pruned term_stats and the check_sim acceptor (df>5,
+    len>4) — tique/src/topterms.rs:160-209 + check_sim.rs:86-98. Descending
+    score, term-asc tie-break."""
+    from cantine_spark.mlt import TopTerms, check_sim_acceptor
+    eng = _engine(spark, sf_dir)
+    row = (_docs(spark, sf_dir).filter(F.col("doc_id") == doc_id)
+           .select("text").collect())
+    kws = (TopTerms(eng.reader).extract(limit, row[0]["text"],
+                                        check_sim_acceptor) if row else [])
+    rows = [(k.term, int(k.tf), float(k.score)) for k in kws]
+    if not rows:
+        return spark.createDataFrame([], "term string, tf int, score double")
+    df = spark.createDataFrame(rows, "term string, tf int, score double")
+    return df.select("term", "tf", F.round("score", 5).alias("score"))
+
+
+def top_terms_sql(doc_id=TOPTERMS_DOC_ID, limit=TOPTERMS_LIMIT) -> str:
+    # engine tokenizer on ASCII text ≡ [a-z0-9]+ on lower() with tokens
+    # >= 40 bytes dropped (analysis.py tantivy TEXT pipeline); df counts
+    # docs whose token SET contains the term — identical to term_stats
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) < 40) AS toks
+  FROM documents),
+n AS (SELECT count(*) AS n FROM tok),
+dfs AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+  GROUP BY term),
+input AS (SELECT unnest(toks) AS term FROM tok WHERE doc_id = {doc_id}),
+tfs AS (SELECT term, count(*) AS tf FROM input GROUP BY term),
+scored AS (
+  SELECT t.term, t.tf,
+         t.tf * ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)) AS raw
+  FROM tfs t JOIN dfs d USING (term), n
+  WHERE d.df > 5 AND length(t.term) > 4)
+SELECT term, CAST(tf AS INT) AS tf, ROUND(raw, 5) AS score
+FROM scored ORDER BY raw DESC, term ASC
+LIMIT {limit}
 """
 
 
@@ -978,6 +1035,7 @@ QUERIES = {
     "bm25_sorted_field": (bm25_sorted_field, bm25_sorted_field_sql()),  # T3+F1 in-kernel
     "range_stats": (range_stats, range_stats_sql()),                  # A1/A3
     "doc_freq": (doc_freq, doc_freq_sql()),                           # A7
+    "top_terms": (top_terms, top_terms_sql()),                        # C4/C5
     # training-data pipeline operators (oracle-checked)
     "dedup_exact": (dedup_exact, dedup_exact_sql()),
     "minhash_near_dup": (minhash_near_dup, minhash_near_dup_sql()),
