@@ -907,7 +907,7 @@ def simhash_pairs(spark, sf_dir) -> DataFrame:
 
 
 def simhash_pairs_sql() -> str:
-    from cantine_spark.operators.dedup import simhash_pieces
+    from cantine_spark.operators.dedup import simhash_key_plan
     nibs = ",\n    ".join(
         f"instr('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 AS n{j}"
         for j in range(16))
@@ -916,14 +916,26 @@ def simhash_pairs_sql() -> str:
         for b in range(SIMHASH_BITS))
     fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
                     for b in range(SIMHASH_BITS))
-    pieces = simhash_pieces(SIMHASH_HAMMING, SIMHASH_BITS)
+    # SAME key plan as the Spark operator: at t=8 on 63 bits that is 2-piece
+    # combination keys (t+2 pieces, C(t+2,2) joins on 12-14-bit keys)
+    pieces, combos = simhash_key_plan(SIMHASH_HAMMING, SIMHASH_BITS)
+
+    def kexpr(c):
+        if len(c) == 1:
+            s, w = pieces[c[0]]
+            return f"(simhash >> {s}) & {(1 << w) - 1}"
+        i, j = c
+        si, wi = pieces[i]
+        sj, wj = pieces[j]
+        return (f"((simhash >> {si}) & {(1 << wi) - 1}) * {1 << wj}"
+                f" + ((simhash >> {sj}) & {(1 << wj) - 1})")
+
     piece_cols = ",\n    ".join(
-        f"(simhash >> {shift}) & {(1 << width) - 1} AS q{i}"
-        for i, (shift, width) in enumerate(pieces))
+        f"{kexpr(c)} AS k{x}" for x, c in enumerate(combos))
     cand_union = "\nUNION\n".join(
         f"SELECT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb "
-        f"FROM pieces l JOIN pieces r ON l.q{i} = r.q{i} AND l.doc_id < r.doc_id"
-        for i in range(len(pieces)))
+        f"FROM pieces l JOIN pieces r ON l.k{x} = r.k{x} AND l.doc_id < r.doc_id"
+        for x in range(len(combos)))
     return f"""
 WITH tok AS ({_SQL_TOK}),
 ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
