@@ -209,8 +209,28 @@ class SearchEngine:
             last = items[-1]
             next_cursor = self._encode_next(
                 query.sort, last["sort_val"], last["uuid"])
+        agg = None
+        if query.agg and (self.agg_threshold is None
+                          or res.total <= self.agg_threshold):
+            # second collector pass, still on the segments (main.rs:137-147)
+            raw = self._fast.aggregate(
+                node, {k_: [tuple(r) for r in v]
+                       for k_, v in query.agg.items()}, preds=preds)
+            agg = {}
+            for feat, rngs in query.agg.items():
+                kind = self.features[feat].kind
+                stats = []
+                for (cnt, mn, mx), (lo, hi) in zip(raw[feat], rngs):
+                    if cnt == 0:
+                        stats.append(RangeStats(min=hi, max=lo, count=0))
+                    elif kind == "u64":
+                        stats.append(RangeStats(min=int(mn), max=int(mx),
+                                                count=cnt))
+                    else:
+                        stats.append(RangeStats(min=mn, max=mx, count=cnt))
+                agg[feat] = stats
         return SearchResult(items=items, total_found=res.total,
-                            next=next_cursor)
+                            next=next_cursor, agg=agg)
 
     # ----------------------------------------------------------- search_node
     def search_node(self, node: QueryNode, k: int = DEFAULT_ITEMS,
@@ -243,15 +263,14 @@ class SearchEngine:
         after = self._decode_after(query)
 
         # DEFAULT PATH: every fulltext query over a pure term/phrase tree —
-        # relevance or field-sorted, filtered or not — runs on the
-        # compressed block-max segments (the reference's searcher IS its
+        # relevance or field-sorted, filtered, aggregating or not — runs on
+        # the compressed block-max segments (the reference's searcher IS its
         # segment reader, cantine/src/index.rs:69-129; filters are Must
-        # clauses of the ONE segment query, main.rs:152-172). The relational
-        # postings path remains only for aggregations and match-all /
-        # pure-negative trees (zero-token docs never appear in segments).
-        if (self._fast is not None
-                and not query.agg
-                and segment_eligible(node)):
+        # clauses of the ONE segment query, main.rs:152-172; aggregations
+        # are a second collector pass, main.rs:137-147). The relational
+        # postings path remains only for match-all / pure-negative trees
+        # (zero-token docs never appear in segments).
+        if self._fast is not None and segment_eligible(node):
             sort_feature = (None if query.sort in (None, "relevance")
                             else query.sort)
             return self._search_segments(node, k, after, query,

@@ -78,6 +78,14 @@ KERNEL_SCHEMA = T.StructType([
 
 SEED_MIN = 256  # exact-score at least this many docs before pruning
 
+AGG_SCHEMA = T.StructType([
+    T.StructField("feat", T.StringType(), False),
+    T.StructField("range_idx", T.IntegerType(), False),
+    T.StructField("vmin", T.DoubleType(), True),
+    T.StructField("vmax", T.DoubleType(), True),
+    T.StructField("cnt", T.LongType(), False),
+])
+
 
 def collect_terms(node: QueryNode, out: set[tuple[str, str]]) -> None:
     if isinstance(node, Term):
@@ -701,6 +709,94 @@ class FastTopK:
         return KernelResult(total=total, visited=visited, hits=hits,
                             blocks_total=bt, blocks_scored=bs,
                             sort_vals=sort_vals)
+
+    # ----------------------------------------------------------- aggregation
+    def aggregate(self, node: QueryNode,
+                  agg_query: dict[str, list[tuple]],
+                  preds: list | None = None,
+                  ) -> dict[str, list[tuple[int, float | None, float | None]]]:
+        """Range-bucket stats of the match set, computed IN the kernel — the
+        reference's aggregation is a SECOND collector pass over the same
+        segment query (cantine/src/main.rs:137-147 gates it on total, then
+        cantine_derive's per-segment collect + merge, lib.rs:75-160); this
+        is that second pass: one shard-cogroup job whose kernel intersects
+        candidates with the (filtered) docmeta ids and range-buckets the
+        feature values, partials merged on the driver. No posting ROWS are
+        ever decoded — candidates come from doc_deltas alone.
+
+        Returns {feat: [(count, min, max), ...]} aligned with agg_query's
+        ranges; min/max are None for empty buckets (caller seeds them)."""
+        terms: set[tuple[str, str]] = set()
+        collect_terms(node, terms)
+        feats = list(agg_query)
+        empty = {f: [(0, None, None)] * len(r) for f, r in agg_query.items()}
+        if not terms:
+            return empty
+        dfs = self.executor.term_dfs(terms)
+        stats = self.reader.stats
+        idfs = {ft: idf_fn(dfs[ft], stats[ft[0]]["n_docs"])
+                for ft in terms if dfs[ft] > 0}
+        if not idfs:
+            return empty
+        ranges = {f: [(float(lo), float(hi)) for lo, hi in r]
+                  for f, r in agg_query.items()}
+
+        def kernel(key, pdf: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame({
+                    "feat": pd.Series([], dtype=str),
+                    "range_idx": pd.Series([], dtype=np.int32),
+                    "vmin": pd.Series([], dtype=np.float64),
+                    "vmax": pd.Series([], dtype=np.float64),
+                    "cnt": pd.Series([], dtype=np.int64),
+                })
+            ev = _ShardEval(pdf, idfs, avgdl_local)
+            C = ev.candidates(node)
+            mids = meta["doc_id"].to_numpy(np.int64)
+            ord_ = np.argsort(mids)
+            mids = mids[ord_]
+            C = np.intersect1d(C, mids, assume_unique=True)
+            sel = np.searchsorted(mids, C) if len(C) else np.empty(0, np.int64)
+            rows = {"feat": [], "range_idx": [], "vmin": [], "vmax": [],
+                    "cnt": []}
+            for f_ in feats:
+                vals = meta[f_].to_numpy(np.float64)[ord_][sel]
+                ok = ~np.isnan(vals)  # null features never collect
+                for i, (lo, hi) in enumerate(ranges[f_]):
+                    m = ok & (vals >= lo) & (vals < hi)
+                    c = int(m.sum())
+                    rows["feat"].append(f_)
+                    rows["range_idx"].append(np.int32(i))
+                    rows["vmin"].append(float(vals[m].min()) if c else np.nan)
+                    rows["vmax"].append(float(vals[m].max()) if c else np.nan)
+                    rows["cnt"].append(np.int64(c))
+            return pd.DataFrame(rows)
+
+        avgdl_local = self.avgdl_by_field
+        meta = self._meta
+        if preds:
+            cond = preds[0]
+            for p in preds[1:]:
+                cond = cond & p
+            meta = meta.filter(cond)
+        meta = meta.select("doc_id", *feats).withColumn(
+            "shard", (F.col("doc_id") / F.lit(self._span)).cast("int"))
+        seg = self._segments_for(set(idfs))
+        pdf = (seg.groupBy("shard").cogroup(meta.groupBy("shard"))
+               .applyInPandas(kernel, AGG_SCHEMA).toPandas())
+        out: dict[str, list[tuple[int, float | None, float | None]]] = {}
+        for f_, rs in agg_query.items():
+            stats_f = []
+            for i in range(len(rs)):
+                part = pdf[(pdf["feat"] == f_) & (pdf["range_idx"] == i)]
+                cnt = int(part["cnt"].sum()) if len(part) else 0
+                if cnt == 0:
+                    stats_f.append((0, None, None))
+                else:
+                    stats_f.append((cnt, float(part["vmin"].min()),
+                                    float(part["vmax"].max())))
+            out[f_] = stats_f
+        return out
 
     # ------------------------------------------------- legacy test surface
     def topk(self, field: str, terms: list[str], k: int = 10,

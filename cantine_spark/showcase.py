@@ -650,6 +650,51 @@ LIMIT {k}
 
 
 # ======================================================================
+# A1+F1: range aggregation over a fulltext match set — second kernel pass
+# ======================================================================
+
+AGG_RANGES = [(0, 250), (250, 400), (400, 10000)]
+
+
+def bm25_agg(spark, sf_dir, term="spark") -> DataFrame:
+    """A1/A5 through the REAL engine: range-bucket stats of the docs
+    matching a fulltext term, computed as a SECOND kernel collector pass
+    over the segments (main.rs:137-147; cantine_derive per-segment collect
+    + merge). Empty buckets come back inverted-seeded (min=hi, max=lo,
+    count=0)."""
+    res = _engine(spark, sf_dir).search(
+        {"fulltext": term, "num_items": 1,
+         "agg": {"content_bytes": [list(r) for r in AGG_RANGES]}})
+    rows = [(i, int(s.min), int(s.max), int(s.count))
+            for i, s in enumerate(res.agg["content_bytes"])]
+    return spark.createDataFrame(
+        rows, "range_idx int, min_v long, max_v long, cnt long")
+
+
+def bm25_agg_sql(term="spark") -> str:
+    branches = []
+    for i, (lo, hi) in enumerate(AGG_RANGES):
+        inb = f"CASE WHEN cb >= {lo} AND cb < {hi} THEN cb END"
+        branches.append(
+            f"SELECT {i} AS range_idx,\n"
+            f"  CAST(coalesce(min({inb}), {hi}) AS BIGINT) AS min_v,\n"
+            f"  CAST(coalesce(max({inb}), {lo}) AS BIGINT) AS max_v,\n"
+            f"  count({inb}) AS cnt FROM matched")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT t.doc_id,
+         len(list_filter(t.toks, x -> x = '{term}')) AS tf,
+         length(d.text) AS cb
+  FROM tok t JOIN documents d USING (doc_id)),
+matched AS (SELECT cb FROM base WHERE tf > 0)
+{union}
+ORDER BY range_idx
+"""
+
+
+# ======================================================================
 # C4: TopTerms keyword extraction (tf·idf over one doc, df from term_stats)
 # ======================================================================
 
@@ -1045,6 +1090,7 @@ QUERIES = {
     "topk_page2": (topk_page2, topk_page2_sql()),                     # T5
     "bm25_filtered": (bm25_filtered, bm25_filtered_sql()),            # F3+F1 in-kernel
     "bm25_sorted_field": (bm25_sorted_field, bm25_sorted_field_sql()),  # T3+F1 in-kernel
+    "bm25_agg": (bm25_agg, bm25_agg_sql()),                           # A1+F1 in-kernel
     "range_stats": (range_stats, range_stats_sql()),                  # A1/A3
     "doc_freq": (doc_freq, doc_freq_sql()),                           # A7
     "top_terms": (top_terms, top_terms_sql()),                        # C4/C5

@@ -189,9 +189,11 @@ def test_segment_kernel_is_default_path(engine, monkeypatch):
                         "filter": {"num_lines": [5, 60]}, "num_items": 5})
     assert r3.items and all(5 <= i["sort_val"] < 60 for i in r3.items)
 
-    # truly ineligible shapes (match-all, aggregations) fall back — and
-    # with frame() broken they must raise our sentinel, proving the split
+    # r3: aggregations run as a second kernel collector pass (no fallback)
+    ragg = engine.search({"fulltext": "def", "agg": {"num_lines": [[0, 50]]}})
+    assert ragg.agg is not None and ragg.agg["num_lines"][0].count > 0
+
+    # the one truly ineligible shape (match-all) falls back — and with
+    # frame() broken it must raise our sentinel, proving the split
     with pytest.raises(AssertionError, match="relational frame"):
         engine.search({"filter": {"num_lines": [0, 50]}})  # match-all
-    with pytest.raises(AssertionError, match="relational frame"):
-        engine.search({"fulltext": "def", "agg": {"num_lines": [[0, 50]]}})

@@ -76,3 +76,46 @@ def test_compacted_index_is_correct(spark, stream_env):
     o_total, o_items = oracle.search(Term("content", "def"), 10)
     assert t_total == o_total
     assert [d for d, _ in t_items] == [d for d, _ in o_items]
+
+
+def test_cursor_survives_compaction_refresh(spark, tmp_path_factory):
+    """Stretch (VERDICT r2 next-round #9): a pagination cursor issued
+    against a compacted index stays valid after a NEW generation lands and
+    the index is re-compacted — doc_ids are watermark-stable and uuids are
+    identity-derived, so the cursor's uuid resolves to the same doc in the
+    fresh reader (the analog of the reference's reader reload after commit,
+    cantine/src/main.rs:235). Uses a field-sort cursor: the sort key is a
+    stable doc attribute, so the resume point is well-defined across
+    commits (a relevance cursor's f32 score legitimately shifts when new
+    docs move the collection stats)."""
+    root = tmp_path_factory.mktemp("fresh")
+    src = str(root / "incoming")
+    os.makedirs(src)
+    corpus = generate_corpus(spark, 80, partitions=2)
+    half = F.crc32(F.concat("repo", "path")) % 2
+    (corpus.filter(half == 0).coalesce(1).write.mode("append").parquet(src))
+    indexer = StreamingIndexer(spark, str(root / "index"))
+    assert indexer.ingest_available(src, str(root / "ckpt")) == 1
+    out = indexer.compact()
+    eng1 = SearchEngine(IndexReader(spark, out))
+    base_q = {"fulltext": "def", "sort": "num_lines", "num_items": 5}
+    r1 = eng1.search(dict(base_q))
+    assert r1.next is not None
+    page1 = [(i["doc_id"], i["uuid"], i["sort_val"]) for i in r1.items]
+
+    # a new generation lands; drain + recompact, then open a FRESH reader
+    (corpus.filter(half == 1).coalesce(1).write.mode("append").parquet(src))
+    assert indexer.ingest_available(src, str(root / "ckpt")) == 1
+    out2 = indexer.compact()
+    eng2 = SearchEngine(IndexReader(spark, out2))
+
+    r2 = eng2.search({**base_q, "after": r1.next})
+    assert r2.items, "old cursor must still paginate after compaction"
+    assert not ({d for d, _, _ in page1} & {i["doc_id"] for i in r2.items})
+    # resumed page honors the stable total order from the cursor point
+    last_sv = page1[-1][2]
+    assert all(i["sort_val"] <= last_sv for i in r2.items)
+    # identity stability: every page-1 uuid resolves to the SAME doc_id
+    for d, u, _ in page1:
+        assert eng2.reader.id_for_uuid(u) == d
+    assert r2.total_found >= r1.total_found

@@ -376,3 +376,29 @@ def test_kernel_pagination_filtered_sorted_exhaustive(reader):
     else:
         raise AssertionError("pagination did not terminate")
     assert len(seen) == rk.total_found
+
+
+AGG_QUERIES = [
+    {"fulltext": "def",
+     "agg": {"num_lines": [[0, 20], [20, 40], [40, 10**6]]}},
+    {"fulltext": "def return", "filter": {"content_bytes": [0, 100000]},
+     "agg": {"num_lines": [[0, 30]], "avg_line_len": [[0.0, 25.0]]}},
+    {"fulltext": "def", "agg": {"num_functions": [[0, 100]]}},  # nullable
+    {"fulltext": "def", "agg": {"num_lines": [[1000, 2000]]}},  # empty bucket
+]
+
+
+@pytest.mark.parametrize("q", AGG_QUERIES)
+def test_kernel_agg_matches_relational(reader, q):
+    """Aggregations with fulltext run as a SECOND kernel collector pass
+    (main.rs:137-147) — candidates from doc_deltas only, feature values from
+    the shard-cogrouped docmeta, partials merged on the driver. Must equal
+    the relational engine exactly: same RangeStats (inverted seeds for empty
+    buckets, nulls never collected), same items, same totals."""
+    eng_k, eng_r = _engines(reader)
+    a, b = eng_k.search(dict(q)), eng_r.search(dict(q))
+    assert a.total_found == b.total_found
+    assert a.agg == b.agg
+    assert_same(
+        (a.total_found, [(i["doc_id"], i["score"]) for i in a.items]),
+        (b.total_found, [(i["doc_id"], i["score"]) for i in b.items]))
