@@ -36,6 +36,7 @@ from cantine_spark.queryparser.parser import QueryParser
 MAX_ITEMS = 255          # u8 page cap (model.rs:192)
 DEFAULT_ITEMS = 10       # main.rs:124
 DISMAX_TIEBREAKER = 0.1  # main.rs:156
+MAX_QUERY_BYTES = 4096   # request-size cap (main.rs:253 caps the body at 4 KiB)
 FIELD_BOOSTS = {"path": 1.15, "content": 1.0}  # analog of name×1.15 (main.rs:229-233)
 
 _KNOWN_KEYS = {"fulltext", "num_items", "filter", "agg", "sort",
@@ -62,6 +63,11 @@ class SearchQuery:
         unknown = set(d) - _KNOWN_KEYS
         if unknown:  # serde deny_unknown_fields (model.rs:189)
             raise BadRequest(f"unknown fields: {sorted(unknown)}")
+        ft = d.get("fulltext")
+        if isinstance(ft, str) and len(ft.encode("utf-8")) > MAX_QUERY_BYTES:
+            # the 4 KiB body-cap analog (main.rs:253): an unbounded query
+            # string would tokenize into an unbounded term tree
+            raise BadRequest(f"fulltext exceeds {MAX_QUERY_BYTES} bytes")
         q = cls(**d)
         if q.num_items is not None and not 1 <= q.num_items <= MAX_ITEMS:
             raise BadRequest("num_items must be in 1..=255")

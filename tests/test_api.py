@@ -197,3 +197,13 @@ def test_segment_kernel_is_default_path(engine, monkeypatch):
     # frame() broken it must raise our sentinel, proving the split
     with pytest.raises(AssertionError, match="relational frame"):
         engine.search({"filter": {"num_lines": [0, 50]}})  # match-all
+
+
+def test_oversized_fulltext_rejected():
+    """The 4 KiB request-size cap analog (cantine/src/main.rs:253): an
+    unbounded query string must 400, not tokenize into an unbounded tree."""
+    from cantine_spark.api import MAX_QUERY_BYTES
+    ok = SearchQuery.from_dict({"fulltext": "a " * (MAX_QUERY_BYTES // 4)})
+    assert ok.fulltext
+    with pytest.raises(BadRequest, match="exceeds"):
+        SearchQuery.from_dict({"fulltext": "a " * MAX_QUERY_BYTES})
