@@ -102,6 +102,19 @@ def collect_terms(node: QueryNode, out: set[tuple[str, str]]) -> None:
             collect_terms(c, out)
 
 
+def tree_has_phrase(node: QueryNode) -> bool:
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, Boost):
+        return tree_has_phrase(node.child)
+    if isinstance(node, DisMax):
+        return any(tree_has_phrase(c) for c in node.children)
+    if isinstance(node, Boolean):
+        return any(tree_has_phrase(c)
+                   for c in (*node.musts, *node.shoulds, *node.must_nots))
+    return False
+
+
 def segment_eligible(node: QueryNode) -> bool:
     """True if the tree can run entirely in the segment kernel. All() cannot
     (zero-token docs never appear in segments), so pure-negative and
@@ -663,6 +676,12 @@ class FastTopK:
                              after, ascending, seed_min=seed_min,
                              with_meta=with_meta, sort_field=sort_feature)
         seg = self._segments_for(live)
+        if not tree_has_phrase(node):
+            # positions blobs are only decoded for phrase adjacency — for
+            # term-only trees, dropping the column here prunes it out of the
+            # parquet scan, the shuffle AND the Arrow transfer (a hot term's
+            # positions are the largest blob in its blocks)
+            seg = seg.drop("positions")
         # ONE job: collect the kernel output (≤ k+1 rows per matched shard)
         # and merge on the driver — exactly the reference's merge_fruits
         # (tique top_collector.rs:180-182 re-heaps per-segment results on
@@ -782,6 +801,10 @@ class FastTopK:
         meta = meta.select("doc_id", *feats).withColumn(
             "shard", (F.col("doc_id") / F.lit(self._span)).cast("int"))
         seg = self._segments_for(set(idfs))
+        if not tree_has_phrase(node):
+            # the agg pass never scores: candidates decode doc_deltas only,
+            # so tfs/dls/positions can all be pruned out of the scan+shuffle
+            seg = seg.drop("positions", "tfs", "dls")
         pdf = (seg.groupBy("shard").cogroup(meta.groupBy("shard"))
                .applyInPandas(kernel, AGG_SCHEMA).toPandas())
         out: dict[str, list[tuple[int, float | None, float | None]]] = {}

@@ -110,3 +110,18 @@ def test_kernel_filter_meta_side_is_pruned(reader):
     assert "doc_id" in schema and "num_lines" in schema
     for heavy in ("avg_line_len", "content_bytes", "comment_ratio", "path"):
         assert heavy not in schema, f"meta side read unneeded column {heavy}"
+
+
+def test_kernel_scan_prunes_positions_for_term_queries(reader):
+    """Non-phrase kernel queries drop the positions column BEFORE the
+    groupBy — the drop must reach the parquet scan's ReadSchema (positions
+    are the largest blob in a hot term's blocks; shipping them through
+    scan+shuffle+Arrow for a term query is pure waste)."""
+    from cantine_spark.execution.wand import FastTopK
+
+    fast = FastTopK(reader)
+    seg = fast._segments_for({("content", "def")}).drop("positions")
+    plan = plan_of(seg)
+    schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "positions" not in schema
+    assert "doc_deltas" in schema and "max_tfnorm" in schema
