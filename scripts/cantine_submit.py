@@ -21,7 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+try:  # under spark-submit the --py-files zip provides the package;
+    import cantine_spark  # noqa: F401
+except ModuleNotFoundError:  # bare `python scripts/cantine_submit.py`
+    # puts scripts/ (not the repo root) on sys.path — add the root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _session(args):
