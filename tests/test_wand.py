@@ -402,3 +402,82 @@ def test_kernel_agg_matches_relational(reader, q):
     assert_same(
         (a.total_found, [(i["doc_id"], i["score"]) for i in a.items]),
         (b.total_found, [(i["doc_id"], i["score"]) for i in b.items]))
+
+
+def test_randomized_differential_kernel_vs_relational(reader, executor):
+    """Seeded fuzz: random query trees (Term/Phrase/Boolean/DisMax/Boost
+    over real + garbage vocabulary) and random filtered/sorted dict queries,
+    kernel vs relational. The hand-picked grids above pin known shapes; this
+    sweeps the space between them deterministically (seed fixed)."""
+    import numpy as np  # noqa: F811
+
+    from cantine_spark.api import SearchEngine
+    from cantine_spark.analysis import tokenize_text
+
+    rng = np.random.default_rng(20260817)
+    ts = (reader.term_stats.filter(F.col("field") == "content")
+          .orderBy(F.desc("df"), "term").limit(60).collect())
+    vocab = [r["term"] for r in ts] + ["zzznope", "qqqmissing"]
+    # real adjacent-token phrases from one document
+    row = reader.find_by_id(3)
+    toks = tokenize_text(row["content"])
+    phrases = [(toks[i], toks[i + 1]) for i in
+               rng.choice(max(1, len(toks) - 1), size=4, replace=False)]
+
+    def term():
+        return Term("content", vocab[int(rng.integers(len(vocab)))])
+
+    def tree(depth=0):
+        c = rng.random()
+        if depth >= 2 or c < 0.35:
+            if rng.random() < 0.2:
+                w1, w2 = phrases[int(rng.integers(len(phrases)))]
+                return Phrase("content", (w1, w2))
+            return term()
+        if c < 0.5:
+            return Boost(tree(depth + 1), float(0.5 + rng.random()))
+        if c < 0.7:
+            kids = tuple(tree(depth + 1)
+                         for _ in range(2 + int(rng.integers(2))))
+            return DisMax(kids, float(rng.choice([0.0, 0.1, 0.5])))
+        n_m, n_s, n_mn = (int(rng.integers(2)), int(rng.integers(3)),
+                          int(rng.integers(2)))
+        if n_m + n_s == 0:
+            n_s = 1
+        return Boolean(musts=tuple(tree(depth + 1) for _ in range(n_m)),
+                       shoulds=tuple(tree(depth + 1) for _ in range(n_s)),
+                       must_nots=tuple(tree(depth + 1) for _ in range(n_mn)))
+
+    eng_k = SearchEngine(reader)
+    eng_r = SearchEngine(reader)
+    eng_r._fast = None
+
+    for i in range(18):
+        node = tree()
+        asc = bool(rng.random() < 0.25)
+        a = eng_k.search_node(node, k=10, ascending=asc)
+        b = eng_r.search_node(node, k=10, ascending=asc)
+        assert a.total == b.total, (i, node)
+        assert_same((a.total, a.hits), (b.total, b.hits))
+
+    feats = ["num_lines", "content_bytes", "avg_line_len", "num_functions"]
+    for i in range(10):
+        q = {"fulltext": " ".join(vocab[int(rng.integers(len(vocab)))]
+                                  for _ in range(1 + int(rng.integers(3)))),
+             "num_items": int(rng.integers(1, 30))}
+        if rng.random() < 0.7:
+            f = feats[int(rng.integers(len(feats)))]
+            lo = int(rng.integers(0, 50))
+            q["filter"] = {f: [lo, lo + int(rng.integers(1, 3000))]}
+        if rng.random() < 0.6:
+            q["sort"] = feats[int(rng.integers(len(feats)))]
+            q["ascending"] = bool(rng.random() < 0.5)
+        a, b = eng_k.search(dict(q)), eng_r.search(dict(q))
+        assert a.total_found == b.total_found, (i, q)
+        if "sort" in q:
+            assert ([(it["doc_id"], it["sort_val"]) for it in a.items]
+                    == [(it["doc_id"], it["sort_val"]) for it in b.items]), (i, q)
+        else:
+            assert_same(
+                (a.total_found, [(it["doc_id"], it["score"]) for it in a.items]),
+                (b.total_found, [(it["doc_id"], it["score"]) for it in b.items]))
