@@ -151,6 +151,10 @@ class StreamingIndexer:
             spark.sparkContext.defaultParallelism * 4) + 1)
         merge_segments(spark, [os.path.join(g, "segments") for g in gens],
                        os.path.join(out, "segments"), avgdl, span)
+        # compacted index gets the same shard-local fast-field sidecar as a
+        # fresh build (field sorts / fused aggs stay O(matches) after merge)
+        from cantine_spark.build.segments import write_fastfields
+        write_fastfields(spark, out, span)
 
         manifest = {"version": 1, "n_docs": n_docs,
                     "fingerprint": f"compacted-{len(gens)}",

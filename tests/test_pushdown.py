@@ -98,7 +98,7 @@ def test_kernel_filter_meta_side_is_pruned(reader):
     from cantine_spark.aggregate import range_filter
     from cantine_spark.execution.wand import FastTopK
 
-    fast = FastTopK(reader)
+    fast = FastTopK(reader, pin_tables=False)  # assert the COLD scan plan
     meta = (fast._meta.filter(range_filter("num_lines", 5, 40))
             .select("doc_id")
             .withColumn("shard",
@@ -119,7 +119,7 @@ def test_kernel_scan_prunes_positions_for_term_queries(reader):
     scan+shuffle+Arrow for a term query is pure waste)."""
     from cantine_spark.execution.wand import FastTopK
 
-    fast = FastTopK(reader)
+    fast = FastTopK(reader, pin_tables=False)  # assert the COLD scan plan
     seg = fast._segments_for({("content", "def")}).drop("positions")
     plan = plan_of(seg)
     schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
