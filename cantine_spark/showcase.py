@@ -1016,15 +1016,30 @@ IVF_NPROBE = 4
 IVF_NQUERY = 3
 
 
+_IVF_CACHE: dict = {}
+
+
 def ivf_ann(spark, sf_dir, k=10) -> DataFrame:
+    import tempfile
+
     import numpy as np
-    from cantine_spark.operators.similarity import assign_centroids, ivf_topk
+    from cantine_spark.operators.similarity import (
+        assign_centroids, ivf_topk, read_ivf_index, write_ivf_index,
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     seeds = (emb.filter(F.col("vec_id") < IVF_NLIST)
              .orderBy("vec_id").collect())
     cents = np.array([[float(x) for x in r["embedding"]] for r in seeds],
                      dtype=np.float64)
-    assigned = assign_centroids(emb, cents)
+    # the DEFAULT layout: assigned vectors written partitionBy(centroid)
+    # once per corpus (the IVF "index build"); probe queries then prune
+    # partitions at the scan (operators/similarity.write_ivf_index)
+    ivf_path = _IVF_CACHE.get(sf_dir)
+    if ivf_path is None:
+        ivf_path = tempfile.mkdtemp(prefix="ivf_idx_") + "/emb"
+        write_ivf_index(assign_centroids(emb, cents), ivf_path)
+        _IVF_CACHE[sf_dir] = ivf_path
+    assigned = read_ivf_index(spark, ivf_path)
     q = emb.filter(F.col("vec_id") < IVF_NQUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))

@@ -88,15 +88,18 @@ class StreamingIndexer:
         return len(self._load_state()["generations"]) - before
 
     # ------------------------------------------------------------ compact
-    def compact(self) -> str:
-        """Merge all generations into index_root/compacted/ — a complete
+    def compact(self, dest: str = "compacted") -> str:
+        """Merge all generations into index_root/<dest>/ — a complete
         index (docs/docmeta unions + merged segments + stats) ready for
-        IndexReader/SearchEngine."""
+        IndexReader/SearchEngine. A serving process passes a VERSIONED dest
+        (serve.IndexServer uses compacted_g<N>) so a refresh builds the new
+        index beside the live one and swaps atomically — never overwriting
+        parquet files a running engine may still scan (blue/green swap)."""
         state = self._load_state()
         gens = [g["dir"] for g in state["generations"]]
         if not gens:
             raise ValueError("nothing to compact")
-        out = os.path.join(self.index_root, "compacted")
+        out = os.path.join(self.index_root, dest)
         spark = self.spark
 
         def _union(name: str) -> DataFrame:

@@ -83,6 +83,21 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Long-lived serving loop over a streaming index root: poll
+    generations.json, compact + swap the engine when new generations land
+    (the reference's actix server + reader refresh, main.rs:235-245)."""
+    from cantine_spark.serve import IndexServer
+    spark = _session(args)
+    server = IndexServer(spark, args.index_root,
+                         agg_threshold=args.agg_threshold)
+    print(json.dumps({"serving": args.index_root,
+                      "n_docs": server.engine.reader.num_docs}), flush=True)
+    server.serve_forever(poll_seconds=args.poll,
+                         max_iterations=args.max_polls)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cantine_submit")
     p.add_argument("--local", type=int, default=0,
@@ -98,6 +113,14 @@ def main(argv=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--agg-threshold", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+    v = sub.add_parser("serve", help="serve a streaming index root, "
+                                     "refreshing on new generations")
+    v.add_argument("--index-root", required=True)
+    v.add_argument("--poll", type=float, default=5.0)
+    v.add_argument("--max-polls", type=int, default=None,
+                   help="bound the loop (smoke tests); default: forever")
+    v.add_argument("--agg-threshold", type=int, default=None)
+    v.set_defaults(fn=cmd_serve)
     args = p.parse_args(argv)
     return args.fn(args)
 

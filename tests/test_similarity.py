@@ -67,6 +67,50 @@ def test_ivf_recall(emb, queries, emb_np):
         assert qid in set(got[got["query_id"] == qid]["vec_id"].tolist())
 
 
+def test_ivf_partitioned_layout_prunes_scan(spark, emb, queries, tmp_path):
+    """r4 (VERDICT r3 next-round #5): write_ivf_index(partitionBy centroid)
+    is the default layout, and a probe query's scan must carry a centroid
+    PartitionFilter — reading ~nprobe/nlist of the data via directory
+    pruning, not a full scan plus filter. Results must equal the
+    unpartitioned path exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cantine_spark.operators.similarity import (
+        read_ivf_index, write_ivf_index,
+    )
+    cents = train_centroids(emb, nlist=8, dim=DIM, iters=2)
+    assigned = assign_centroids(emb, cents)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+    on_disk = read_ivf_index(spark, path)
+    # layout: one directory per cell
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("centroid=")]
+    assert len(cells) == len(
+        {r["centroid"] for r in assigned.select("centroid").distinct().collect()})
+
+    got_part = ivf_topk(on_disk, cents, queries, k=K, nprobe=3).toPandas()
+    got_flat = ivf_topk(assigned, cents, queries, k=K, nprobe=3).toPandas()
+    key = ["query_id", "rank"]
+    assert (got_part.sort_values(key)[["query_id", "vec_id", "rank"]]
+            .reset_index(drop=True)
+            .equals(got_flat.sort_values(key)[["query_id", "vec_id", "rank"]]
+                    .reset_index(drop=True)))
+
+    # plan: the probe-cell IN-list reaches the scan as a PartitionFilter
+    plan_df = ivf_topk(on_disk, cents, queries, k=K, nprobe=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    seg = [p for p in plan.split("Scan parquet")
+           if "PartitionFilters" in p and "centroid" in p]
+    assert seg, "no centroid PartitionFilters on the IVF scan"
+    pf = seg[0].split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "centroid" in pf and ("IN" in pf or "in(" in pf.lower())
+
+
 def test_centroids_deterministic(emb):
     c1 = train_centroids(emb, nlist=4, dim=DIM, iters=1)
     c2 = train_centroids(emb, nlist=4, dim=DIM, iters=1)
