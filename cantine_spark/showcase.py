@@ -649,6 +649,51 @@ LIMIT {k}
 """
 
 
+def bm25_filtered_sorted(spark, sf_dir, term="spark", lo=150, hi=400,
+                         k=12) -> DataFrame:
+    """r4: filter + field sort in ONE kernel job — the filter's doc-id set
+    cogroups as bare 8-byte ids while the sort values come from the
+    shard-local fast-field sidecar (build/segments.write_fastfields), so
+    neither the filter nor the ranking moves feature columns through a
+    shuffle (VERDICT r3 next-round #1; tantivy's FAST columns,
+    index.rs:193 + top_collector.rs:136-166)."""
+    res = _engine(spark, sf_dir).search(
+        {"fulltext": term, "sort": "content_bytes",
+         "filter": {"content_bytes": [lo, hi]}, "num_items": k})
+    rows = [(int(it["doc_id"]), int(it["sort_val"]), float(it["score"]))
+            for it in res.items]
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id long, content_bytes long, score double")
+    df = spark.createDataFrame(rows, "doc_id long, content_bytes long, score float")
+    return df.select("doc_id", "content_bytes",
+                     F.round(F.col("score").cast("double"), 5).alias("score"))
+
+
+def bm25_filtered_sorted_sql(term="spark", lo=150, hi=400, k=12) -> str:
+    raw = _sql_bm25_expr("b.tf", "s.df0", "b.dl")
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT t.doc_id, len(t.toks) AS dl,
+         len(list_filter(t.toks, x -> x = '{term}')) AS tf,
+         length(d.text) AS cb
+  FROM tok t JOIN documents d USING (doc_id)),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df0
+  FROM base),
+scored AS (
+  SELECT b.doc_id, b.cb, CAST({raw} AS REAL) AS s32
+  FROM base b, stats s
+  WHERE b.tf > 0 AND b.cb >= {lo} AND b.cb < {hi})
+SELECT doc_id, CAST(cb AS BIGINT) AS content_bytes,
+       ROUND(CAST(s32 AS DOUBLE), 5) AS score
+FROM scored ORDER BY cb DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # ======================================================================
 # A1+F1: range aggregation over a fulltext match set — second kernel pass
 # ======================================================================
@@ -1105,7 +1150,9 @@ QUERIES = {
     "topk_page2": (topk_page2, topk_page2_sql()),                     # T5
     "bm25_filtered": (bm25_filtered, bm25_filtered_sql()),            # F3+F1 in-kernel
     "bm25_sorted_field": (bm25_sorted_field, bm25_sorted_field_sql()),  # T3+F1 in-kernel
-    "bm25_agg": (bm25_agg, bm25_agg_sql()),                           # A1+F1 in-kernel
+    "bm25_filtered_sorted": (bm25_filtered_sorted,
+                             bm25_filtered_sorted_sql()),  # F3+T3 one job (r4)
+    "bm25_agg": (bm25_agg, bm25_agg_sql()),                           # A1+F1 fused (r4)
     "range_stats": (range_stats, range_stats_sql()),                  # A1/A3
     "doc_freq": (doc_freq, doc_freq_sql()),                           # A7
     "top_terms": (top_terms, top_terms_sql()),                        # C4/C5
