@@ -946,7 +946,17 @@ class FastTopK:
         ever decoded — candidates come from doc_deltas alone.
 
         Returns {feat: [(count, min, max), ...]} aligned with agg_query's
-        ranges; min/max are None for empty buckets (caller seeds them)."""
+        ranges; min/max are None for empty buckets (caller seeds them).
+
+        r4: with the fast-field sidecar present this delegates to the
+        search kernel's fused agg (k=1, hits discarded): feature values are
+        read shard-locally, the cogroup (when filtered) ships bare doc_ids,
+        and an UNFILTERED aggregation is a plain groupBy job — the gated
+        second pass no longer shuffles O(n_docs) feature columns. The
+        cogroup implementation below remains for pre-sidecar indexes."""
+        if self._ff_dir is not None:
+            return self.search(node, k=1, preds=preds,
+                               agg_query=agg_query).agg
         terms: set[tuple[str, str]] = set()
         collect_terms(node, terms)
         feats = list(agg_query)

@@ -115,16 +115,22 @@ AGG = {"num_lines": [(0, 20), (20, 40), (40, 10**6)],
 
 
 def test_fused_agg_equals_two_pass(reader):
+    """Differential: the fused sidecar kernel vs the r3 cogroup collector
+    (forced by disabling the sidecar on a second instance) — identical
+    partial merges, filtered and unfiltered."""
     fast = FastTopK(reader)
+    legacy = FastTopK(reader)
+    legacy._ff_dir = None  # force the pre-sidecar cogroup implementation
     node = Term("content", "def")
     fused = fast.search(node, k=3, agg_query=AGG)
     assert fused.agg is not None
-    two_pass = fast.aggregate(node, AGG)
-    assert fused.agg == two_pass
-    # and with a filter, both passes see the same (filtered) match set
+    assert fused.agg == fast.aggregate(node, AGG)      # delegates to fused
+    assert fused.agg == legacy.aggregate(node, AGG)    # r3 cogroup path
+    # and with a filter, every path sees the same (filtered) match set
     preds = [range_filter("content_bytes", 0, 5000)]
     fused_f = fast.search(node, k=3, preds=preds, agg_query=AGG)
     assert fused_f.agg == fast.aggregate(node, AGG, preds=preds)
+    assert fused_f.agg == legacy.aggregate(node, AGG, preds=preds)
 
 
 def test_fused_engine_agg_matches_gated_engine(reader):
