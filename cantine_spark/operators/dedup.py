@@ -127,6 +127,41 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, tokens_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def ngram_jaccard_pairs(df: DataFrame, tokens_col: str, shingle_n: int = 3,
+                        threshold: float = 0.7, id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup WITHOUT LSH: candidates are every pair
+    sharing ≥1 shingle — generated by an inverted-index equi-join on the
+    shingle, never an all-pairs product — then exact Jaccard verification.
+
+    vs minhash_dedup: zero recall loss (MinHash banding can miss pairs near
+    the threshold); cost is Σ_shingle df² candidate rows instead of the
+    signature pass. At web scale ubiquitous "stop shingles" (license
+    boilerplate, `} } }`) dominate that sum: `max_shingle_df` drops
+    shingles seen in more than that many docs from CANDIDATE GENERATION
+    only — verification still uses full shingle sets, so every reported
+    jaccard is exact; a true pair is lost only if ALL its shared shingles
+    are ubiquitous, which at thresholds ≥0.5 means near-pure boilerplate.
+    Default None = fully exact (small/medium corpora, and the oracle)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.array_distinct(
+                       shingles_col(tokens_col, shingle_n))).alias("shingle"))
+    if max_shingle_df is not None:
+        keep = (sh.groupBy("shingle").count()
+                  .filter(F.col("count") <= max_shingle_df)
+                  .select("shingle"))
+        sh = sh.join(keep, "shingle")
+    cand = (sh.alias("l")
+            .join(sh.alias("r"),
+                  (F.col("l.shingle") == F.col("r.shingle"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+    return jaccard_verify(df, cand, tokens_col, shingle_n=shingle_n,
+                          threshold=threshold, id_col=id_col)
+
+
 def minhash_dedup(df: DataFrame, tokens_col: str, id_col: str = "doc_id",
                   threshold: float = 0.7) -> DataFrame:
     """End-to-end near-dup pairs: minhash → LSH buckets → exact verify."""

@@ -846,6 +846,47 @@ def minhash_near_dup(spark, sf_dir) -> DataFrame:
             .orderBy("a", "b"))
 
 
+def ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """r4: exact n-gram Jaccard near-dup — the LSH-free dedup method
+    (operators/dedup.ngram_jaccard_pairs): candidate pairs from an
+    inverted-index equi-join on shingles (never an all-pairs product),
+    exact Jaccard verification. Complements minhash_near_dup: zero recall
+    loss, with a documented stop-shingle df cap as the web-scale knob."""
+    from cantine_spark.operators.dedup import ngram_jaccard_pairs
+    tok = _tokens(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(tok, "toks", shingle_n=SHINGLE_N,
+                                threshold=0.0)
+    return (pairs.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .orderBy("a", "b"))
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {SHINGLE_N}
+    THEN list_transform(range(1, len(toks) - {SHINGLE_N} + 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM tok),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM exploded l JOIN exploded r ON l.s = r.s AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT c.a, c.b,
+    ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(x.shingles, y.shingles))), 1),
+          5) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {JACCARD_T}
+ORDER BY a, b
+"""
+
+
 def minhash_near_dup_sql() -> str:
     min_cols = ",\n    ".join(
         f"min(md5(s || '#{i}')) AS m{i}" for i in range(N_MINHASH))
@@ -1159,6 +1200,7 @@ QUERIES = {
     # training-data pipeline operators (oracle-checked)
     "dedup_exact": (dedup_exact, dedup_exact_sql()),
     "minhash_near_dup": (minhash_near_dup, minhash_near_dup_sql()),
+    "ngram_jaccard": (ngram_jaccard, ngram_jaccard_sql()),  # r4: LSH-free exact
     "text_quality": (text_quality, text_quality_sql()),
     "lang_id": (lang_id, lang_id_sql()),
     "token_counts": (token_counts, token_counts_sql()),

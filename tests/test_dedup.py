@@ -76,6 +76,35 @@ def test_jaccard_verify_matches_bruteforce(spark, docs):
             brute_jaccard(toks[r["a"]], toks[r["b"]]), abs=1e-9)
 
 
+def test_ngram_jaccard_exact_all_pairs(spark, docs):
+    """r4: the LSH-free path must find EVERY pair with jaccard >= t (it is
+    exact by construction — any pair with jaccard > 0 shares a shingle, so
+    the inverted-shingle join cannot miss it), values == brute force."""
+    from cantine_spark.operators.dedup import ngram_jaccard_pairs
+
+    toks = {i: s.split() for i, s in enumerate(SENTS)}
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, "toks", threshold=0.5).collect()}
+    want = {(a, b): brute_jaccard(toks[a], toks[b])
+            for a, b in itertools.combinations(range(len(SENTS)), 2)
+            if brute_jaccard(toks[a], toks[b]) >= 0.5}
+    assert set(got) == set(want)
+    for p, j in got.items():
+        assert j == pytest.approx(want[p], abs=1e-9)
+    # superset-or-equal of the probabilistic MinHash path at the same t
+    mh = {(r["a"], r["b"]) for r in
+          minhash_dedup(docs, "toks", threshold=0.5).collect()}
+    assert mh <= set(got)
+    # stop-shingle cap: candidate pruning never changes reported values,
+    # only (possibly) drops boilerplate-only pairs
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, "toks", threshold=0.5,
+                                           max_shingle_df=2).collect()}
+    assert set(capped) <= set(got)
+    for p, j in capped.items():
+        assert j == pytest.approx(got[p], abs=1e-9)
+
+
 def test_simhash_near_dups(spark, docs):
     h = simhash(docs, "toks")
     vals = {r["doc_id"]: r["simhash"] for r in h.collect()}
