@@ -217,10 +217,21 @@ class SearchEngine:
                     and self._fast.has_fastfields)
         agg_q = ({k_: [tuple(r) for r in v] for k_, v in query.agg.items()}
                  if fuse_agg else None)
+        # range filters evaluate IN-KERNEL against the shard-local sidecar
+        # when it covers every filtered feature (the reference composes
+        # RangeQuery into the per-segment query, main.rs:152-172); Column
+        # preds + docmeta cogroup remain the pre-sidecar fallback
+        kernel_filters = None
+        if (query.filter and self._fast.has_fastfields
+                and set(query.filter) <= self._fast._ff_cols):
+            kernel_filters = {f_: (lo, hi)
+                              for f_, (lo, hi) in query.filter.items()}
+            preds = None
         res = self._fast.search(node, k=k, after=after,
                                 ascending=query.ascending,
                                 preds=preds, sort_feature=sort_feature,
-                                agg_query=agg_q)
+                                agg_query=agg_q,
+                                range_filters=kernel_filters)
         feat = self.features[sort_feature] if sort_feature else None
         items: list[dict] = []
         if res.hits:
@@ -253,7 +264,8 @@ class SearchEngine:
                 # (main.rs:137-147), run only now that total is known
                 raw = self._fast.aggregate(
                     node, {k_: [tuple(r) for r in v]
-                           for k_, v in query.agg.items()}, preds=preds)
+                           for k_, v in query.agg.items()}, preds=preds,
+                    range_filters=kernel_filters)
             agg = {}
             for feat, rngs in query.agg.items():
                 kind = self.features[feat].kind

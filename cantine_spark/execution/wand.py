@@ -497,7 +497,8 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 seed_min: int = SEED_MIN, with_meta: bool = False,
                 sort_field: str | None = None,
                 fastfield_dir: str | None = None,
-                agg_spec: dict[str, list[tuple[float, float]]] | None = None):
+                agg_spec: dict[str, list[tuple[float, float]]] | None = None,
+                filter_spec: dict[str, tuple[float, float]] | None = None):
     """Build the per-shard applyInPandas function (closure is pickled).
 
     with_meta=True produces a COGROUP kernel: the right frame carries this
@@ -524,7 +525,14 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
     partials (count/min/max) for the SAME candidate set, as doc_id == -2
     rows. This fuses the reference's second collector pass
     (cantine/src/main.rs:137-147) into the search job: one kernel decodes
-    candidates once and answers both top-k and aggregations."""
+    candidates once and answers both top-k and aggregations.
+
+    filter_spec: {feat: (lo, hi)} — half-open, null-excluding range
+    filters evaluated IN-KERNEL against this shard's sidecar values (r4).
+    This is the reference's own shape: tantivy composes RangeQuery into the
+    per-segment query and evaluates it against segment-local fast-field
+    columns (main.rs:152-172); the r3 docmeta cogroup was the workaround
+    for not having per-shard fast fields. Requires fastfield_dir."""
 
     def run(shard: int, pdf: pd.DataFrame,
             meta: pd.DataFrame | None) -> pd.DataFrame:
@@ -542,14 +550,25 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 msort = np.nan_to_num(
                     meta[sort_field].to_numpy(np.float64)[ord_], nan=0.0)
             C = np.intersect1d(C, mids, assume_unique=True)
-        total = len(C)
 
         ff_ids = ff_vals = None
         need_ff = [c for c in ({sort_field} if msort is None else set())
-                   | set(agg_spec or ()) if c]
-        if fastfield_dir is not None and need_ff and total:
+                   | set(agg_spec or ()) | set(filter_spec or ()) if c]
+        if fastfield_dir is not None and need_ff and len(C):
             ff_ids, ff_vals = _load_fastfields(
                 fastfield_dir, shard, tuple(sorted(need_ff)))
+
+        if filter_spec and len(C):
+            # in-kernel range filter over shard-local fast-field values:
+            # half-open [lo, hi), nulls (NaN) never match — identical to
+            # aggregate.range_filter / the relational path
+            sel = np.searchsorted(ff_ids, C)
+            keep = np.ones(len(C), dtype=bool)
+            for f_, (lo, hi) in filter_spec.items():
+                v = ff_vals[f_][sel]
+                keep &= ~np.isnan(v) & (v >= lo) & (v < hi)
+            C = C[keep]
+        total = len(C)
 
         agg_pdf = None
         if agg_spec and total:
@@ -808,12 +827,21 @@ class FastTopK:
                sort_feature: str | None = None,
                seed_min: int = SEED_MIN,
                agg_query: dict[str, list[tuple]] | None = None,
+               range_filters: dict[str, tuple] | None = None,
                ) -> KernelResult:
-        """preds: unbound Column predicates over docmeta (range filters),
-        AND-composed — they switch the kernel job to a shard-cogroup of
-        segments with the filtered docmeta doc_ids, intersected in-kernel
-        like a Must clause; no row-per-posting table is ever scanned
-        (VERDICT r2 'What's missing' #1).
+        """range_filters: {feat: (lo, hi)} half-open null-excluding range
+        filters, evaluated IN-KERNEL against the shard-local sidecar (r4) —
+        the reference's own shape (RangeQuery composed into the ONE
+        per-segment query over segment-local fast-field columns,
+        main.rs:152-172). A filtered query is then a single-input groupBy
+        kernel job: no docmeta scan, no cogroup, no shuffle beyond the
+        query terms' blocks. Requires the sidecar.
+
+        preds: unbound Column predicates over docmeta (range filters),
+        AND-composed — the r3 fallback for pre-sidecar indexes: a
+        shard-cogroup of segments with the filtered docmeta doc_ids,
+        intersected in-kernel like a Must clause; no row-per-posting table
+        is ever scanned (VERDICT r2 'What's missing' #1).
 
         sort_feature: feature column to rank by instead of relevance. With
         the fast-field sidecar (the default for freshly built indexes) the
@@ -845,18 +873,27 @@ class FastTopK:
         if agg_query and self._ff_dir is None:
             raise ValueError("fused aggregation needs the fast-field "
                              "sidecar; use aggregate() on this index")
+        if range_filters is not None and (
+                self._ff_dir is None
+                or not set(range_filters) <= self._ff_cols):
+            raise ValueError("in-kernel range filters need the fast-field "
+                             "sidecar covering every filtered feature; "
+                             "pass Column preds instead")
         use_ff_sort = (sort_feature is not None
                        and self._ff_dir is not None
                        and sort_feature in self._ff_cols)
         with_meta = bool(preds) or (sort_feature is not None
                                     and not use_ff_sort)
-        need_sidecar = use_ff_sort or bool(agg_query)
+        need_sidecar = use_ff_sort or bool(agg_query) or bool(range_filters)
         kernel = make_kernel(
             node, idfs, self.avgdl_by_field, k, after, ascending,
             seed_min=seed_min, with_meta=with_meta, sort_field=sort_feature,
             fastfield_dir=self._ff_dir if need_sidecar else None,
             agg_spec={f: [(float(lo), float(hi)) for lo, hi in r]
-                      for f, r in agg_query.items()} if agg_query else None)
+                      for f, r in agg_query.items()} if agg_query else None,
+            filter_spec={f: (float(lo), float(hi))
+                         for f, (lo, hi) in range_filters.items()}
+            if range_filters else None)
         seg = self._segments_for(live)
         if not tree_has_phrase(node):
             # positions blobs are only decoded for phrase adjacency — for
@@ -935,6 +972,7 @@ class FastTopK:
     def aggregate(self, node: QueryNode,
                   agg_query: dict[str, list[tuple]],
                   preds: list | None = None,
+                  range_filters: dict[str, tuple] | None = None,
                   ) -> dict[str, list[tuple[int, float | None, float | None]]]:
         """Range-bucket stats of the match set, computed IN the kernel — the
         reference's aggregation is a SECOND collector pass over the same
@@ -956,6 +994,7 @@ class FastTopK:
         cogroup implementation below remains for pre-sidecar indexes."""
         if self._ff_dir is not None:
             return self.search(node, k=1, preds=preds,
+                               range_filters=range_filters,
                                agg_query=agg_query).agg
         terms: set[tuple[str, str]] = set()
         collect_terms(node, terms)

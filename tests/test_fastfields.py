@@ -88,10 +88,36 @@ def test_unfiltered_field_sort_is_plain_groupby(reader):
     assert len(locs) == 1 and "segments" in locs[0]
 
 
+def test_filtered_query_runs_in_kernel_no_cogroup(reader):
+    """r4: range filters evaluate IN-KERNEL against the shard-local sidecar
+    (the reference composes RangeQuery into the per-segment query,
+    main.rs:152-172) — a filtered, sorted, aggregating fulltext query is
+    ONE single-input groupBy kernel job with no docmeta scan at all."""
+    fast = FastTopK(reader, pin_tables=False)
+    res = fast.search(Term("content", "def"), k=5,
+                      range_filters={"num_lines": (3, 50)},
+                      sort_feature="content_bytes",
+                      agg_query={"num_lines": [(0, 30), (30, 10**6)]})
+    assert res.hits and res.agg is not None
+    plan = plan_of(fast.last_job)
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "docmeta" not in plan
+    locs = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert len(locs) == 1 and "segments" in locs[0]
+    # totals agree with the Column-pred cogroup fallback
+    ref = fast.search(Term("content", "def"), k=5,
+                      preds=[range_filter("num_lines", 3, 50)],
+                      sort_feature="content_bytes")
+    assert (res.total, res.hits, res.sort_vals) == \
+        (ref.total, ref.hits, ref.sort_vals)
+    # agg buckets partition the filtered match set exactly
+    assert sum(c for c, _, _ in res.agg["num_lines"]) == res.total
+
+
 def test_filtered_query_cogroups_bare_doc_ids(reader):
-    """Filtered + sorted: the cogroup right side must scan docmeta with the
-    range filter pushed and read ONLY doc_id — the sort column comes from
-    the shard-local sidecar, not the shuffle."""
+    """Pre-sidecar FALLBACK (Column preds): the cogroup right side must
+    scan docmeta with the range filter pushed and read ONLY doc_id — the
+    sort column comes from the shard-local sidecar, not the shuffle."""
     fast = FastTopK(reader, pin_tables=False)
     res = fast.search(Term("content", "def"), k=5,
                       preds=[range_filter("num_lines", 3, 50)],
