@@ -121,11 +121,14 @@ class SearchEngine:
             FastTopK(self.reader, executor=self.executor,
                      pin_tables=self.pin_tables)
             if self.reader.has_segments else None)
+        if self.pin_tables:
+            self.executor.pin_hydration()
 
     def close(self) -> None:
         """Release pinned tables (serving refresh swaps engines)."""
         if self._fast is not None:
             self._fast.close()
+        self.executor.unpin_hydration()
 
     # ------------------------------------------------------------ interpret
     def interpret(self, query: SearchQuery) -> tuple[QueryNode, list]:

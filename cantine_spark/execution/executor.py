@@ -61,6 +61,28 @@ class SearchExecutor:
         # term-dictionary cache: df per (field, term) is immutable for a
         # built index — the analog of tantivy's in-memory term dict/fst
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._hydration_df: DataFrame | None = None
+
+    HYDRATE_COLS = ("doc_id", "uuid", "repo", "path", "lang")
+
+    def pin_hydration(self) -> None:
+        """Serving mode: pin the NARROW hydration projection of the doc
+        store (ids + display fields, ~100 B/doc — never `content`) in
+        cluster memory, so the per-query winner lookup reads cached
+        columnar batches instead of re-opening the parquet doc store. The
+        memory analog of the reference's mmap-resident doc store minus the
+        payload (readerwriter.rs:61-66 reads offsets, not blobs)."""
+        from pyspark import StorageLevel
+        self._hydration_df = (self.reader.docs
+                              .select(*self.HYDRATE_COLS)
+                              .persist(StorageLevel.MEMORY_AND_DISK))
+
+    def unpin_hydration(self) -> None:
+        if self._hydration_df is not None:
+            try:
+                self._hydration_df.unpersist()
+            finally:
+                self._hydration_df = None
 
     # ------------------------------------------------------------ term stats
     def term_dfs(self, terms: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
@@ -264,7 +286,10 @@ class SearchExecutor:
         join, no broadcast, one job."""
         if not ids:
             return {}
-        cols = columns or ["doc_id", "uuid", "repo", "path", "lang"]
-        rows = (self.reader.docs.filter(F.col("doc_id").isin([int(i) for i in ids]))
+        cols = columns or list(self.HYDRATE_COLS)
+        src = self.reader.docs
+        if self._hydration_df is not None and set(cols) <= set(self.HYDRATE_COLS):
+            src = self._hydration_df  # pinned narrow projection (serving)
+        rows = (src.filter(F.col("doc_id").isin([int(i) for i in ids]))
                 .select(*cols).collect())
         return {int(r["doc_id"]): r.asDict() for r in rows}
