@@ -64,3 +64,23 @@ def test_server_sees_new_generation_in_same_process(spark, serve_env):
     # a bounded serve_forever loop is a no-op when nothing new arrives
     server.serve_forever(poll_seconds=0.01, max_iterations=2)
     assert server.engine.reader.num_docs == N
+
+
+def test_cli_serve_smoke(spark, serve_env, capsys):
+    """`cantine_submit serve` opens the root and runs a bounded poll loop
+    (the daemon shape, minus the daemon)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import cantine_submit
+    finally:
+        sys.path.pop(0)
+    *_, index_root = serve_env
+    rc = cantine_submit.main(["--local", "4", "serve",
+                              "--index-root", index_root,
+                              "--max-polls", "1", "--poll", "0.01"])
+    assert rc == 0
+    first = capsys.readouterr().out.strip().splitlines()[0]
+    import json
+    assert json.loads(first)["n_docs"] == N
