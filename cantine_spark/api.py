@@ -335,7 +335,16 @@ class SearchEngine:
 
         matched = self._matched(node, preds)
         if matched is None:
-            return SearchResult(items=[], total_found=0)
+            # zero matches (e.g. an unknown term): the reference still runs
+            # the aggregation collector when the gate passes (0 ≤ any
+            # threshold, main.rs:137-147) and returns inverted-seeded empty
+            # buckets — agg must NOT silently disappear
+            agg = None
+            if query.agg:
+                agg = {feat: [RangeStats(min=hi, max=lo, count=0)
+                              for lo, hi in (tuple(r) for r in rngs)]
+                       for feat, rngs in query.agg.items()}
+            return SearchResult(items=[], total_found=0, agg=agg)
 
         sort = query.sort or "relevance"
         ascending = query.ascending

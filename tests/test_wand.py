@@ -385,6 +385,15 @@ AGG_QUERIES = [
      "agg": {"num_lines": [[0, 30]], "avg_line_len": [[0.0, 25.0]]}},
     {"fulltext": "def", "agg": {"num_functions": [[0, 100]]}},  # nullable
     {"fulltext": "def", "agg": {"num_lines": [[1000, 2000]]}},  # empty bucket
+    # r4 combined shapes: filter + sort + agg (+ ascending) in ONE kernel
+    # job — filters and sort values from the sidecar, agg partials fused
+    {"fulltext": "def", "sort": "num_lines", "ascending": True,
+     "filter": {"num_lines": [2, 60], "content_bytes": [0, 100000]},
+     "agg": {"num_lines": [[0, 30], [30, 10**6]],
+             "num_functions": [[0, 100]]}, "num_items": 7},
+    {"fulltext": '"def parse00001"', "sort": "avg_line_len",
+     "filter": {"avg_line_len": [0.0, 40.0]},
+     "agg": {"content_bytes": [[0, 10**6]]}, "num_items": 5},
 ]
 
 
