@@ -481,8 +481,13 @@ def test_randomized_differential_kernel_vs_relational(reader, executor):
         if rng.random() < 0.6:
             q["sort"] = feats[int(rng.integers(len(feats)))]
             q["ascending"] = bool(rng.random() < 0.5)
+        if rng.random() < 0.5:  # r4: fused agg fuzzed against two-pass
+            af = feats[int(rng.integers(len(feats)))]
+            cut = int(rng.integers(1, 60))
+            q["agg"] = {af: [[0, cut], [cut, 10**6]]}
         a, b = eng_k.search(dict(q)), eng_r.search(dict(q))
         assert a.total_found == b.total_found, (i, q)
+        assert a.agg == b.agg, (i, q)
         if "sort" in q:
             assert ([(it["doc_id"], it["sort_val"]) for it in a.items]
                     == [(it["doc_id"], it["sort_val"]) for it in b.items]), (i, q)
