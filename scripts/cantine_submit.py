@@ -31,16 +31,25 @@ except ModuleNotFoundError:  # bare `python scripts/cantine_submit.py`
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _session(args):
+def _session(args, serving: bool = False):
+    """serving=True tunes the context for a long-lived query service:
+    FAIR scheduling (concurrent queries are many small jobs; FIFO queues
+    them ~2× slower at 4 clients — bench.py measurement) and reused Python
+    workers (kernel tasks are tiny and identical). Batch builds keep the
+    defaults (fresh workers; see session.py)."""
+    extra = ({"spark.scheduler.mode": "FAIR",
+              "spark.python.worker.reuse": "true"} if serving else {})
     if args.local:
         from cantine_spark.session import get_spark
         return get_spark("cantine-submit", cores=args.local,
-                         shuffle_partitions=args.local)
+                         shuffle_partitions=args.local, extra_conf=extra)
     from pyspark.sql import SparkSession
-    return (SparkSession.builder.appName("cantine-submit")
-            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-            .config("spark.sql.adaptive.enabled", "true")
-            .getOrCreate())
+    b = (SparkSession.builder.appName("cantine-submit")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.adaptive.enabled", "true"))
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def cmd_build(args) -> int:
@@ -88,7 +97,7 @@ def cmd_serve(args) -> int:
     generations.json, compact + swap the engine when new generations land
     (the reference's actix server + reader refresh, main.rs:235-245)."""
     from cantine_spark.serve import IndexServer
-    spark = _session(args)
+    spark = _session(args, serving=True)
     server = IndexServer(spark, args.index_root,
                          agg_threshold=args.agg_threshold)
     print(json.dumps({"serving": args.index_root,
