@@ -228,6 +228,16 @@ def test_stale_sidecar_falls_back_to_cogroup(spark, reader, stale_sidecar_dir):
                                        "agg": {"num_lines": [[0, 20],
                                                              [20, 10**6]]}})
     assert res.agg == ref.agg
+    # engine-level FILTERED query on the stale index routes to Column
+    # preds (cogroup fallback) and still equals the sidecar engine
+    fq = {"fulltext": "def", "filter": {"num_lines": [3, 50]},
+          "sort": "num_lines", "num_items": 6}
+    a = eng.search(dict(fq))
+    b = SearchEngine(reader).search(dict(fq))
+    assert a.total_found == b.total_found
+    assert ([(i["doc_id"], i["sort_val"]) for i in a.items]
+            == [(i["doc_id"], i["sort_val"]) for i in b.items])
+    assert "FlatMapCoGroupsInPandas" in plan_of(eng._fast.last_job)
 
 
 # --------------------------------------------------- pruning observability
