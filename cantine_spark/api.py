@@ -217,7 +217,8 @@ class SearchEngine:
         a hot query does NOT pay the aggregation scan, which a fuse-anyway-
         and-discard design would re-introduce."""
         fuse_agg = (query.agg is not None and self.agg_threshold is None
-                    and self._fast.has_fastfields)
+                    and self._fast.has_fastfields
+                    and set(query.agg) <= self._fast._ff_cols)
         agg_q = ({k_: [tuple(r) for r in v] for k_, v in query.agg.items()}
                  if fuse_agg else None)
         # range filters evaluate IN-KERNEL against the shard-local sidecar

@@ -473,7 +473,38 @@ def _empty_kernel_frame() -> pd.DataFrame:
     })
 
 
-def _load_fastfields(fastfield_dir: str, shard: int,
+# Worker-level sidecar cache (ADVICE r4): a serving profile runs
+# spark.python.worker.reuse=true, so the same Python worker evaluates many
+# kernel tasks — without this every field-sorted/filtered/aggregating query
+# re-opened and re-read its shard's sidecar parquet. Index dirs are
+# immutable by construction (blue/green: every refresh writes a NEW
+# versioned dir), so (path, cols) identifies the bytes; mtime is added to
+# the key where stat() works (local fs) as belt-and-braces.
+_FF_CACHE: dict[tuple, tuple[np.ndarray, dict]] = {}
+_FF_CACHE_CAP = 64
+
+
+def _read_ff_shard(path: str, cols: tuple[str, ...]):
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # object store / non-posix — rely on immutability
+    key = (path, cols, mtime)
+    hit = _FF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads  # noqa: PLC0415 (executor-side import)
+
+    pdf = pads.dataset(path).to_table(columns=["doc_id", *cols]).to_pandas()
+    out = (pdf["doc_id"].to_numpy(np.int64),
+           {c: pdf[c].to_numpy(np.float64) for c in cols})
+    if len(_FF_CACHE) >= _FF_CACHE_CAP:
+        _FF_CACHE.pop(next(iter(_FF_CACHE)))
+    _FF_CACHE[key] = out
+    return out
+
+
+def _load_fastfields(spec, shard: int, span: int,
                      cols: tuple[str, ...]) -> tuple[np.ndarray, dict]:
     """Read THIS shard's fast-field sidecar (written doc_id-sorted by
     write_fastfields) inside the kernel task — tantivy's per-segment FAST
@@ -481,22 +512,54 @@ def _load_fastfields(fastfield_dir: str, shard: int,
     live next to its postings, so no cross-shard data ever moves. Nulls
     come back as NaN (pyarrow promotes nullable ints to float64).
 
-    On a cluster `fastfield_dir` is shared storage (object store / HDFS) —
-    the same place the executor already reads its segment parquet from."""
-    import pyarrow.dataset as pads  # noqa: PLC0415 (executor-side import)
+    `spec` is a sidecar dir (str) for single-dir indexes, or a list of
+    (doc_lo, doc_hi, dir) tier locations (tiered.TieredIndexReader): a
+    boundary shard's values may straddle two tiers, whose shard files
+    concatenate in tier order (= doc_id order, ranges disjoint ascending).
 
-    d = pads.dataset(os.path.join(fastfield_dir, f"shard={shard}"))
-    pdf = d.to_table(columns=["doc_id", *cols]).to_pandas()
-    ids = pdf["doc_id"].to_numpy(np.int64)
-    vals = {c: pdf[c].to_numpy(np.float64) for c in cols}
+    On a cluster the dirs are shared storage (object store / HDFS) —
+    the same place the executor already reads its segment parquet from."""
+    if isinstance(spec, str):
+        dirs = [spec]
+    else:
+        lo, hi = shard * span, (shard + 1) * span
+        dirs = [d for (dlo, dhi, d) in spec if dlo < hi and dhi > lo]
+    parts = [_read_ff_shard(os.path.join(d, f"shard={shard}"), cols)
+             for d in dirs
+             if os.path.isdir(os.path.join(d, f"shard={shard}"))]
+    if not parts:
+        return np.empty(0, np.int64), {c: np.empty(0, np.float64)
+                                       for c in cols}
+    if len(parts) == 1:
+        return parts[0]
+    ids = np.concatenate([p[0] for p in parts])
+    vals = {c: np.concatenate([p[1][c] for p in parts]) for c in cols}
     return ids, vals
+
+
+def _ff_select(ff_ids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Indices of candidate docs C in the shard's sidecar id array — with
+    the invariant CHECKED (ADVICE r4): if segments and the sidecar ever
+    disagree (partial compaction, manual rebuild), a bare searchsorted
+    would silently read an adjacent doc's value for filters/sort/agg, or
+    raise IndexError. Corruption must fail loudly instead."""
+    sel = np.searchsorted(ff_ids, C)
+    sel_c = np.clip(sel, 0, max(len(ff_ids) - 1, 0))
+    if len(ff_ids) == 0 or not np.array_equal(ff_ids[sel_c], C):
+        missing = C if len(ff_ids) == 0 else C[ff_ids[sel_c] != C]
+        raise ValueError(
+            f"fast-field sidecar out of sync with segments: "
+            f"{len(missing)} candidate doc_ids absent (e.g. "
+            f"{missing[:5].tolist()}) — rebuild the sidecar "
+            f"(build.segments.write_fastfields)")
+    return sel_c
 
 
 def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 after: tuple[float, int] | None, ascending: bool,
                 seed_min: int = SEED_MIN, with_meta: bool = False,
                 sort_field: str | None = None,
-                fastfield_dir: str | None = None,
+                fastfield_dir=None, shard_span: int = 0,
                 agg_spec: dict[str, list[tuple[float, float]]] | None = None,
                 filter_spec: dict[str, tuple[float, float]] | None = None):
     """Build the per-shard applyInPandas function (closure is pickled).
@@ -556,13 +619,13 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                    | set(agg_spec or ()) | set(filter_spec or ()) if c]
         if fastfield_dir is not None and need_ff and len(C):
             ff_ids, ff_vals = _load_fastfields(
-                fastfield_dir, shard, tuple(sorted(need_ff)))
+                fastfield_dir, shard, shard_span, tuple(sorted(need_ff)))
 
         if filter_spec and len(C):
             # in-kernel range filter over shard-local fast-field values:
             # half-open [lo, hi), nulls (NaN) never match — identical to
             # aggregate.range_filter / the relational path
-            sel = np.searchsorted(ff_ids, C)
+            sel = _ff_select(ff_ids, C)
             keep = np.ones(len(C), dtype=bool)
             for f_, (lo, hi) in filter_spec.items():
                 v = ff_vals[f_][sel]
@@ -572,7 +635,7 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
 
         agg_pdf = None
         if agg_spec and total:
-            sel = np.searchsorted(ff_ids, C)
+            sel = _ff_select(ff_ids, C)
             rows = {"feat": [], "range_idx": [], "vmin": [], "vmax": [],
                     "cnt": []}
             for f_, ranges in agg_spec.items():
@@ -638,7 +701,7 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
             # the cogrouped docmeta projection (pre-sidecar fallback).
             if msort is None:
                 sv = np.nan_to_num(
-                    ff_vals[sort_field][np.searchsorted(ff_ids, C)], nan=0.0)
+                    ff_vals[sort_field][_ff_select(ff_ids, C)], nan=0.0)
             else:
                 sv = msort[np.searchsorted(mids, C)]
             if after is not None:
@@ -740,7 +803,6 @@ class FastTopK:
     avgdl_by_field: dict = dc_field(init=False)
 
     def __post_init__(self):
-        import os as _os
         if self.executor is None:
             from cantine_spark.execution.executor import SearchExecutor
             self.executor = SearchExecutor(self.reader)
@@ -772,24 +834,23 @@ class FastTopK:
             return (df.persist(StorageLevel.MEMORY_AND_DISK)
                     if self.pin_tables else df)
 
-        self._seg = _pin(self._sess.read.parquet(
-            _os.path.join(self.reader.index_dir, "segments")))
+        # All index tables come THROUGH the reader's provider methods (never
+        # raw paths) so a tiered reader — the serving layer's incremental
+        # compaction — presents N tier dirs as one logical index here
+        # (tiered.TieredIndexReader scales block-max bounds per tier).
+        self._seg = _pin(self.reader.segments_df(self._sess))
         # docmeta read through the same session: the cogroup side of
         # filtered queries. shard = doc_id // span — the SAME
         # shard math as the segment encoder, and docmeta is doc_id-range-
         # partitioned so the pre-shuffle scan is contiguous per shard.
-        from cantine_spark.build.segments import (
-            load_fastfields_meta, load_segments_meta,
-        )
-        self._span = int(load_segments_meta(self.reader.index_dir)["shard_span"])
-        self._meta = _pin(self._sess.read.parquet(
-            _os.path.join(self.reader.index_dir, "docmeta")))
+        self._span = int(self.reader.segments_meta()["shard_span"])
+        self._meta = _pin(self.reader.docmeta_df(self._sess))
         # fast-field sidecar (write_fastfields): present + span-consistent →
         # kernels read sort/agg feature values shard-locally; stale or
         # absent → r3 cogroup fallback (meta carries the sort column)
-        ffm = load_fastfields_meta(self.reader.index_dir)
+        ffm = self.reader.fastfields_spec()
         if ffm is not None and int(ffm["shard_span"]) == self._span:
-            self._ff_dir = _os.path.join(self.reader.index_dir, "fastfields")
+            self._ff_dir = ffm["locations"]  # str | [(doc_lo, doc_hi, dir)]
             self._ff_cols = set(ffm["columns"])
         else:
             self._ff_dir = None
@@ -870,9 +931,16 @@ class FastTopK:
         live = set(idfs)
         if not live:
             return KernelResult(0, 0, [], agg=empty_agg)
-        if agg_query and self._ff_dir is None:
-            raise ValueError("fused aggregation needs the fast-field "
-                             "sidecar; use aggregate() on this index")
+        if agg_query and (self._ff_dir is None
+                          or not set(agg_query) <= self._ff_cols):
+            # ADVICE r4: a feature absent from the sidecar (schema drift,
+            # non-numeric docmeta column) must fail HERE with a clear error,
+            # not as a pyarrow missing-column error deep in an executor task
+            raise ValueError(
+                "fused aggregation needs the fast-field sidecar covering "
+                f"every agg feature (missing: "
+                f"{sorted(set(agg_query) - self._ff_cols)}); "
+                "use aggregate() on this index")
         if range_filters is not None and (
                 self._ff_dir is None
                 or not set(range_filters) <= self._ff_cols):
@@ -889,6 +957,7 @@ class FastTopK:
             node, idfs, self.avgdl_by_field, k, after, ascending,
             seed_min=seed_min, with_meta=with_meta, sort_field=sort_feature,
             fastfield_dir=self._ff_dir if need_sidecar else None,
+            shard_span=self._span,
             agg_spec={f: [(float(lo), float(hi)) for lo, hi in r]
                       for f, r in agg_query.items()} if agg_query else None,
             filter_spec={f: (float(lo), float(hi))
@@ -991,8 +1060,9 @@ class FastTopK:
         read shard-locally, the cogroup (when filtered) ships bare doc_ids,
         and an UNFILTERED aggregation is a plain groupBy job — the gated
         second pass no longer shuffles O(n_docs) feature columns. The
-        cogroup implementation below remains for pre-sidecar indexes."""
-        if self._ff_dir is not None:
+        cogroup implementation below remains for pre-sidecar indexes AND
+        for agg features the sidecar doesn't cover (ADVICE r4)."""
+        if self._ff_dir is not None and set(agg_query) <= self._ff_cols:
             return self.search(node, k=1, preds=preds,
                                range_filters=range_filters,
                                agg_query=agg_query).agg

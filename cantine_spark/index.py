@@ -112,6 +112,37 @@ class IndexReader:
     def segments(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
+    # ---- segment-path providers. FastTopK consumes the index through these
+    #      four methods (never through raw paths), so a reader that spans
+    #      MULTIPLE tier directories (tiered.TieredIndexReader — the serving
+    #      layer's incremental-compaction shape) can present itself as one
+    #      logical index by overriding them.
+    def segments_meta(self) -> dict:
+        from cantine_spark.build.segments import load_segments_meta
+        return load_segments_meta(self.index_dir)
+
+    def segments_df(self, spark: SparkSession) -> DataFrame:
+        """Segments table read through the GIVEN session (FastTopK queries on
+        a conf-isolated clone of the reader's session)."""
+        return spark.read.parquet(os.path.join(self.index_dir, "segments"))
+
+    def docmeta_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
+
+    def fastfields_spec(self) -> dict | None:
+        """Fast-field sidecar descriptor: {shard_span, columns, locations}.
+        `locations` is the sidecar dir (str) for a single-dir index, or a
+        doc-range-keyed list [(doc_lo, doc_hi, dir), ...] for tiered readers
+        — the kernel resolves a shard to the dir(s) covering its doc range.
+        None when the sidecar is absent (pre-sidecar index)."""
+        from cantine_spark.build.segments import load_fastfields_meta
+        m = load_fastfields_meta(self.index_dir)
+        if m is None:
+            return None
+        return {"shard_span": int(m["shard_span"]),
+                "columns": list(m["columns"]),
+                "locations": os.path.join(self.index_dir, "fastfields")}
+
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
     #      range-partitioned + sorted by doc_id → parquet row-group pruning.

@@ -88,17 +88,41 @@ class StreamingIndexer:
         return len(self._load_state()["generations"]) - before
 
     # ------------------------------------------------------------ compact
-    def compact(self, dest: str = "compacted") -> str:
-        """Merge all generations into index_root/<dest>/ — a complete
-        index (docs/docmeta unions + merged segments + stats) ready for
+    def compact(self, dest: str = "compacted",
+                generations: list[dict] | None = None,
+                shard_span: int | None = None) -> str:
+        """Merge generations into index_root/<dest>/ — a complete index
+        (docs/docmeta unions + merged segments + stats) ready for
         IndexReader/SearchEngine. A serving process passes a VERSIONED dest
-        (serve.IndexServer uses compacted_g<N>) so a refresh builds the new
-        index beside the live one and swaps atomically — never overwriting
-        parquet files a running engine may still scan (blue/green swap)."""
+        so a refresh builds the new index beside the live one and swaps
+        atomically — never overwriting parquet files a running engine may
+        still scan (blue/green swap).
+
+        `generations` restricts the merge to a SUBSET of committed
+        generations (default: all) — the tier-build primitive of the
+        serving layer's incremental compaction (serve.IndexServer): a
+        refresh compacts only the NEW generations into a new tier, O(delta)
+        instead of O(total index). `shard_span` pins the segment span so
+        every tier of one root shares it (TieredIndexReader requires this).
+        """
         state = self._load_state()
-        gens = [g["dir"] for g in state["generations"]]
-        if not gens:
+        source = (generations if generations is not None
+                  else state["generations"])
+        if not source:
             raise ValueError("nothing to compact")
+        return self.compact_dirs([g["dir"] for g in source],
+                                 dest, covered=list(source),
+                                 shard_span=shard_span)
+
+    def compact_dirs(self, dirs: list[str], dest: str,
+                     covered: list[dict] | None = None,
+                     shard_span: int | None = None) -> str:
+        """k-way merge of COMPLETE index dirs (generation dirs OR existing
+        tier dirs — a tier is itself a complete index, so the serving
+        layer's tier-merge policy reuses this verbatim). `covered` is the
+        generation metadata the output covers (recorded in the manifest,
+        with the output's doc_id_range, for tier bookkeeping)."""
+        gens = dirs
         out = os.path.join(self.index_root, dest)
         spark = self.spark
 
@@ -150,7 +174,7 @@ class StreamingIndexer:
 
         avgdl = {r[0]: r[3] for r in rows}
         n_docs = rows[0][1]
-        span = max(128 * 8, n_docs // (
+        span = shard_span or max(128 * 8, n_docs // (
             spark.sparkContext.defaultParallelism * 4) + 1)
         merge_segments(spark, [os.path.join(g, "segments") for g in gens],
                        os.path.join(out, "segments"), avgdl, span)
@@ -159,11 +183,22 @@ class StreamingIndexer:
         from cantine_spark.build.segments import write_fastfields
         write_fastfields(spark, out, span)
 
+        if covered is None:
+            covered = self._load_state()["generations"]
+        if covered and all("first_doc_id" in g for g in covered):
+            doc_range = [min(int(g["first_doc_id"]) for g in covered),
+                         max(int(g["first_doc_id"]) + int(g["n_docs"])
+                             for g in covered)]
+        else:  # fallback: one tiny agg over the (range-partitioned) docs
+            r = docs_u.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+            doc_range = [int(r[0]), int(r[1]) + 1]
         manifest = {"version": 1, "n_docs": n_docs,
                     "fingerprint": f"compacted-{len(gens)}",
                     "text_fields": list(TEXT_FIELDS),
                     "n_buckets": 64,
-                    "generations": state["generations"],
+                    "shard_span": span,
+                    "doc_id_range": doc_range,
+                    "generations": covered,
                     "built_at": time.time()}
         with open(os.path.join(out, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
