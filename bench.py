@@ -173,45 +173,61 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
         out["pruning"] = prune
 
         if os.environ.get("SPARK_GRAFT_QPS") == "1":
-            # concurrent serving throughput: T client threads draining a
-            # shared mixed-query workload against ONE engine — the shape of
-            # the reference's actix server under load (concurrent searches
-            # share the SparkContext; per-query kernels are independent
-            # jobs scheduled FIFO across the cores). Safe because kernel
-            # jobs run on a cloned, never-mutated session (wand.py).
+            # concurrent serving throughput THROUGH THE HTTP ENDPOINT
+            # (httpserve.SearchHTTPServer — the actix analog, VERDICT r4
+            # item #2): T client threads POST /search against one engine.
+            # Measuring through HTTP includes JSON (de)serialization and
+            # the socket round-trip — the number a real client sees. Safe
+            # because kernel jobs run on a cloned, never-mutated session
+            # (wand.py) and pinned tables are read-only.
             import queue as _q
             import threading
+            import types
+            import urllib.request
+
+            from cantine_spark.httpserve import SearchHTTPServer
             n_threads = int(os.environ.get("SPARK_GRAFT_QPS_THREADS", "8"))
             n_total = int(os.environ.get("SPARK_GRAFT_QPS_QUERIES", "120"))
             work: _q.Queue = _q.Queue()
             for j in range(n_total):
                 work.put(BENCH_QUERIES[j % len(BENCH_QUERIES)][1])
             errors: list = []
+            backend = types.SimpleNamespace(engine=engine,
+                                            search=engine.search)
+            with SearchHTTPServer(backend, poll_seconds=0) as http:
+                url = http.url + "/search"
 
-            def drain():
-                while True:
-                    try:
-                        q = work.get_nowait()
-                    except _q.Empty:
-                        return
-                    try:
-                        engine.search(dict(q))
-                    except Exception as e:  # noqa: BLE001
-                        errors.append(repr(e))
+                def drain():
+                    while True:
+                        try:
+                            q = work.get_nowait()
+                        except _q.Empty:
+                            return
+                        try:
+                            req = urllib.request.Request(
+                                url, data=json.dumps(q).encode(),
+                                headers={"Content-Type": "application/json"})
+                            with urllib.request.urlopen(req, timeout=120) as r:
+                                if r.status != 200:
+                                    errors.append(f"http {r.status}")
+                                else:
+                                    json.load(r)
+                        except Exception as e:  # noqa: BLE001
+                            errors.append(repr(e))
 
-            wait_for_quiet()
-            t0 = time.time()
-            threads = [threading.Thread(target=drain)
-                       for _ in range(n_threads)]
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            wall = time.time() - t0
+                wait_for_quiet()
+                t0 = time.time()
+                threads = [threading.Thread(target=drain)
+                           for _ in range(n_threads)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.time() - t0
             out["qps"] = {"threads": n_threads, "queries": n_total,
                           "wall_s": round(wall, 2),
                           "qps": round(n_total / wall, 1),
-                          "errors": len(errors)}
+                          "via": "http", "errors": len(errors)}
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)

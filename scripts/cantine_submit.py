@@ -93,15 +93,28 @@ def cmd_search(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Long-lived serving loop over a streaming index root: poll
-    generations.json, compact + swap the engine when new generations land
-    (the reference's actix server + reader refresh, main.rs:235-245)."""
+    """Long-lived serving over a streaming index root: poll
+    generations.json, compact NEW generations into a tier + swap the
+    engine (the reference's actix server + reader refresh,
+    main.rs:235-245). With --port, answers POST /search + GET /info over
+    HTTP (the actix surface); without, runs the in-process poll loop."""
     from cantine_spark.serve import IndexServer
     spark = _session(args, serving=True)
     server = IndexServer(spark, args.index_root,
                          agg_threshold=args.agg_threshold)
     print(json.dumps({"serving": args.index_root,
                       "n_docs": server.engine.reader.num_docs}), flush=True)
+    if args.port is not None:
+        import time
+        from cantine_spark.httpserve import SearchHTTPServer
+        with SearchHTTPServer(server, port=args.port,
+                              poll_seconds=args.poll) as http:
+            print(json.dumps({"listening": http.url}), flush=True)
+            polls = 0
+            while args.max_polls is None or polls < args.max_polls:
+                time.sleep(args.poll)
+                polls += 1
+        return 0
     server.serve_forever(poll_seconds=args.poll,
                          max_iterations=args.max_polls)
     return 0
@@ -125,6 +138,9 @@ def main(argv=None) -> int:
     v = sub.add_parser("serve", help="serve a streaming index root, "
                                      "refreshing on new generations")
     v.add_argument("--index-root", required=True)
+    v.add_argument("--port", type=int, default=None,
+                   help="serve POST /search + GET /info over HTTP "
+                        "(0 = ephemeral port)")
     v.add_argument("--poll", type=float, default=5.0)
     v.add_argument("--max-polls", type=int, default=None,
                    help="bound the loop (smoke tests); default: forever")

@@ -1,0 +1,133 @@
+"""HTTP endpoint smoke (VERDICT r4 item #2): the actix-analog surface.
+
+The contract: a client on ONE port sees `POST /search` answers; a new
+generation lands; the SAME port serves the refreshed index (blue/green
+swap under the running endpoint, refresh driven by the server's poll
+thread). Plus the reference's request hygiene: 4 KiB cap, 400 on bad
+requests (main.rs:253, model.rs:189).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from cantine_spark.corpus import generate_corpus
+from cantine_spark.httpserve import SearchHTTPServer
+from cantine_spark.serve import IndexServer
+from cantine_spark.streaming import StreamingIndexer
+
+N = 80
+
+
+def _post(url: str, payload, raw: bytes | None = None):
+    data = raw if raw is not None else json.dumps(payload).encode()
+    req = urllib.request.Request(url + "/search", data=data,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.load(r)
+
+
+def _get(url: str, path: str):
+    with urllib.request.urlopen(url + path, timeout=120) as r:
+        return r.status, json.load(r)
+
+
+@pytest.fixture(scope="module")
+def http_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http")
+    src = str(root / "incoming")
+    os.makedirs(src)
+    corpus = generate_corpus(spark, N, partitions=2)
+    halves = [corpus.filter(F.crc32(F.concat("repo", "path")) % 2 == i)
+              for i in range(2)]
+    indexer = StreamingIndexer(spark, str(root / "index"))
+    halves[0].coalesce(1).write.mode("append").parquet(src)
+    assert indexer.ingest_available(src, str(root / "ckpt")) == 1
+    server = IndexServer(spark, str(root / "index"))
+    http = SearchHTTPServer(server, port=0, poll_seconds=0.2).start()
+    yield http, indexer, halves, src, str(root / "ckpt")
+    http.stop()
+
+
+def test_search_info_health(http_env):
+    http, *_ = http_env
+    assert _get(http.url, "/healthz")[0] == 200
+    code, body = _post(http.url, {"fulltext": "def", "num_items": 5})
+    assert code == 200
+    assert body["total_found"] > 0 and len(body["items"]) == 5
+    assert {"doc_id", "uuid", "repo", "path", "score"} <= set(body["items"][0])
+    # pagination through the wire: page 2 disjoint from page 1
+    code, page2 = _post(http.url, {"fulltext": "def", "num_items": 5,
+                                   "after": body["next"]})
+    assert code == 200
+    assert {i["doc_id"] for i in page2["items"]}.isdisjoint(
+        {i["doc_id"] for i in body["items"]})
+    code, info = _get(http.url, "/info")
+    assert code == 200 and info["n_docs"] > 0 and "num_lines" in info["features"]
+
+
+def test_request_hygiene(http_env):
+    http, *_ = http_env
+    # unknown field → 400 (serde deny_unknown_fields analog)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http.url, {"fulltextt": "def"})
+    assert e.value.code == 400
+    # bad JSON → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http.url, None, raw=b"{not json")
+    assert e.value.code == 400
+    # body over the 4 KiB reference cap → 413
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http.url, {"fulltext": "x" * 5000})
+    assert e.value.code == 413
+    # unknown route → 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http.url, "/nope")
+    assert e.value.code == 404
+
+
+def test_concurrent_clients(http_env):
+    import threading
+    http, *_ = http_env
+    errors, results = [], []
+
+    def client():
+        try:
+            code, body = _post(http.url, {"fulltext": "def return",
+                                          "num_items": 3})
+            results.append((code, body["total_found"]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len({r for r in results}) == 1  # identical answers, all 200
+
+
+def test_same_port_sees_new_generation(http_env):
+    """The r5 'done' criterion: HTTP query → generation lands → the SAME
+    port serves the new docs (the poll thread refreshes mid-traffic)."""
+    http, indexer, halves, src, ckpt = http_env
+    _, before = _get(http.url, "/info")
+    halves[1].coalesce(1).write.mode("append").parquet(src)
+    assert indexer.ingest_available(src, ckpt) == 1
+    deadline = time.time() + 120
+    n_docs = before["n_docs"]
+    while time.time() < deadline and n_docs < N:
+        time.sleep(0.5)
+        _, info = _get(http.url, "/info")
+        n_docs = info["n_docs"]
+    assert n_docs == N
+    code, body = _post(http.url, {"fulltext": "def", "num_items": 5})
+    assert code == 200 and body["total_found"] > 0
