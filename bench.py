@@ -163,6 +163,12 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
                             res.stats["blocks_scored"]
                             / max(res.stats["blocks_total"], 1), 3),
                         "total_matched": res.total_found,
+                        # r5: single-term relevance page-1 queries are
+                        # answered from the impact-ordered champion sidecar
+                        # (build/champions.py) — O(C) postings per shard,
+                        # zero blocks decoded
+                        "champion_served": bool(
+                            res.stats.get("champion_served")),
                     }
         # per-query best-of-N minimum; p50 is the median of those minima
         out["queries"] = {n: round(min(v), 3) for n, v in lat.items()}

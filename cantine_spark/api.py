@@ -287,7 +287,8 @@ class SearchEngine:
                             next=next_cursor, agg=agg,
                             stats={"blocks_total": res.blocks_total,
                                    "blocks_scored": res.blocks_scored,
-                                   "visited": res.visited})
+                                   "visited": res.visited,
+                                   "champion_served": res.champion_served})
 
     # ----------------------------------------------------------- search_node
     def search_node(self, node: QueryNode, k: int = DEFAULT_ITEMS,

@@ -275,6 +275,10 @@ def build_segments(spark: SparkSession, index_dir: str,
     # fast-field sidecar rides the segments' span — re-encoding with a new
     # span rewrites it so the two can never disagree
     write_fastfields(spark, index_dir, span)
+    # per-term champion sidecar (hot-term fast path) — derived from the
+    # freshly written segments, same span discipline
+    from cantine_spark.build.champions import write_champions
+    write_champions(spark, index_dir, avgdl, span)
 
     seg = spark.read.parquet(out_path)
     n_blocks = seg.count()

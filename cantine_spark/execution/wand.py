@@ -169,15 +169,28 @@ class _TermData:
 
 
 class _ShardEval:
-    """Evaluates the query tree over one shard's blocks (all numpy)."""
+    """Evaluates the query tree over one shard's blocks (all numpy).
 
-    def __init__(self, pdf: pd.DataFrame, idfs: dict, avgdl: dict):
+    champs (optional): this shard's champion sidecar rows
+    (build/champions.py) — per-(field,term) impact-ordered posting heads
+    with stored tf/dl. When present they give the kernel (a) an exact-score
+    SEED of the true per-term top-C docs (no block decode: tf/dl come from
+    the row) and (b) a per-doc TAIL BOUND for every non-head doc
+    (idf · tail_tfnorm · avgdl-drift, combined through the query tree like
+    bounds()) — the discriminating bound block maxima cannot provide on
+    tfnorm-saturated corpora (VERDICT r4 "What's missing" #3)."""
+
+    def __init__(self, pdf: pd.DataFrame, idfs: dict, avgdl: dict,
+                 champs: pd.DataFrame | None = None):
         self.pdf = pdf.reset_index(drop=True)
         self.idfs = idfs
         self.avgdl = avgdl
         self.blocks_scored = 0
         self._terms: dict[tuple[str, str], _TermData] = {}
         self._phrases: dict = {}
+        self._champ_pdf = (champs.reset_index(drop=True)
+                           if champs is not None and len(champs) else None)
+        self._champ_data: dict[tuple[str, str], tuple | None] = {}
         fk = self.pdf["field"].to_numpy()
         tk = self.pdf["term"].to_numpy()
         fd = self.pdf["first_doc"].to_numpy()
@@ -219,6 +232,170 @@ class _ShardEval:
 
     def _tfnorm(self, tf: np.ndarray, dl: np.ndarray, fld: str) -> np.ndarray:
         return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl[fld]))
+
+    # ---------------------------------------------------------- champions
+    def champ(self, ft: tuple[str, str]) -> tuple | None:
+        """(docs_sorted, tfnorm_sorted, tail) for this shard's champion rows
+        of (field, term), or None when absent. tfnorm is recomputed from the
+        stored tf/dl with the CURRENT global avgdl — the identical f64
+        expression _tfnorm uses, so head scores are bit-equal to decoded
+        ones. tail is the max over rows of tail_tfnorm · max(1,
+        avgdl_now/avgdl_build) (true under avgdl drift, tiered.py algebra);
+        multiple rows per (field,term) appear only when a shard straddles
+        tier boundaries — tiers hold disjoint doc ranges, so concatenation
+        is duplicate-free."""
+        if ft in self._champ_data:
+            return self._champ_data[ft]
+        out = None
+        if self._champ_pdf is not None:
+            cp = self._champ_pdf
+            rows = np.flatnonzero((cp["field"].to_numpy() == ft[0])
+                                  & (cp["term"].to_numpy() == ft[1]))
+            if len(rows):
+                av = self.avgdl[ft[0]]
+                docs_l, tfn_l, tail = [], [], 0.0
+                for i in rows:
+                    d = np.frombuffer(cp["doc_ids"].iat[i],
+                                      dtype="<u8").astype(np.int64)
+                    tf = np.frombuffer(cp["tfs"].iat[i],
+                                       dtype="<u4").astype(np.float64)
+                    dl = np.frombuffer(cp["dls"].iat[i],
+                                       dtype="<u4").astype(np.float64)
+                    docs_l.append(d)
+                    tfn_l.append(self._tfnorm(tf, dl, ft[0]))
+                    ab = float(cp["avgdl_build"].iat[i])
+                    drift = max(1.0, av / ab) if ab > 0 else 1.0
+                    tail = max(tail, float(cp["tail_tfnorm"].iat[i]) * drift)
+                docs = np.concatenate(docs_l)
+                tfn = np.concatenate(tfn_l)
+                order = np.argsort(docs)
+                out = (docs[order], tfn[order], tail)
+        self._champ_data[ft] = out
+        return out
+
+    def champ_ok(self, node: QueryNode) -> bool:
+        """True when every scoring Term leaf with postings in this shard has
+        champion rows — the condition for the seeded path. must_nots only
+        shape candidates, never scores, so they need no champion data."""
+        if isinstance(node, Term):
+            ft = (node.field, node.text)
+            return (len(self.term(ft).docs) == 0
+                    or self.champ(ft) is not None)
+        if isinstance(node, Boost):
+            return self.champ_ok(node.child)
+        if isinstance(node, DisMax):
+            return all(self.champ_ok(c) for c in node.children)
+        if isinstance(node, Boolean):
+            return (all(self.champ_ok(m) for m in node.musts
+                        if not isinstance(m, All))
+                    and all(self.champ_ok(s) for s in node.shoulds))
+        return False  # Phrase / All: no champion analog
+
+    def champ_seed(self, node: QueryNode) -> np.ndarray:
+        """Union of head docs over scoring leaves (sorted unique)."""
+        if isinstance(node, Term):
+            ch = self.champ((node.field, node.text))
+            return ch[0] if ch is not None else np.empty(0, np.int64)
+        if isinstance(node, Boost):
+            return self.champ_seed(node.child)
+        kids: tuple = ()
+        if isinstance(node, DisMax):
+            kids = node.children
+        elif isinstance(node, Boolean):
+            kids = tuple(m for m in node.musts
+                         if not isinstance(m, All)) + node.shoulds
+        out = np.empty(0, np.int64)
+        for c in kids:
+            out = np.union1d(out, self.champ_seed(c))
+        return out
+
+    def scores_seeded(self, node: QueryNode, C: np.ndarray) -> np.ndarray:
+        """Exact f64 scores for docs C — identical arithmetic to scores(),
+        but Term leaves read tf/dl from champion heads where the doc is a
+        head, decoding blocks only for the non-head remainder."""
+        if isinstance(node, Term):
+            ft = (node.field, node.text)
+            td = self.term(ft)
+            out = np.zeros(len(C), dtype=np.float64)
+            if len(td.docs) == 0:
+                return out
+            pos = np.searchsorted(td.docs, C)
+            pos_c = np.clip(pos, 0, len(td.docs) - 1)
+            present = td.docs[pos_c] == C
+            if not present.any():
+                return out
+            sel = pos_c[present]
+            ch = self.champ(ft)
+            if ch is None:
+                self._ensure_scored(ft, sel)
+                out[present] = self.idfs[ft] * self._tfnorm(
+                    td.tf[sel], td.dl[sel], node.field)
+                return out
+            cdocs, ctfn, _tail = ch
+            hit_docs = C[present]
+            cpos = np.searchsorted(cdocs, hit_docs)
+            cclip = np.clip(cpos, 0, max(len(cdocs) - 1, 0))
+            in_head = cdocs[cclip] == hit_docs
+            vals = np.empty(len(sel), dtype=np.float64)
+            vals[in_head] = ctfn[cclip[in_head]]
+            need = sel[~in_head]
+            if len(need):
+                self._ensure_scored(ft, need)
+                vals[~in_head] = self._tfnorm(
+                    td.tf[need], td.dl[need], node.field)
+            out[present] = self.idfs[ft] * vals
+            return out
+        if isinstance(node, Boost):
+            return self.scores_seeded(node.child, C) * node.factor
+        if isinstance(node, DisMax):
+            kid = np.stack([self.scores_seeded(c, C) for c in node.children])
+            mx = kid.max(axis=0)
+            sm = kid.sum(axis=0)
+            return mx + (sm - mx) * node.tiebreaker
+        if isinstance(node, Boolean):
+            out = np.zeros(len(C), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    out += self.scores_seeded(m, C)
+            for s in node.shoulds:
+                out += self.scores_seeded(s, C)
+            return out
+        return self.scores(node, C)
+
+    def champ_tail_bounds(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
+        """Per-doc score upper bounds for NON-HEAD docs D from champion tail
+        maxima — same monotone tree combiners as bounds(). Only valid when
+        no doc of D is a head of any leaf (the kernel passes D = C \\ seed)."""
+        if isinstance(node, Term):
+            ft = (node.field, node.text)
+            td = self.term(ft)
+            out = np.zeros(len(D), dtype=np.float64)
+            if len(td.docs) == 0:
+                return out
+            pos = np.searchsorted(td.docs, D)
+            pos_c = np.clip(pos, 0, len(td.docs) - 1)
+            present = td.docs[pos_c] == D
+            ch = self.champ(ft)
+            tail = ch[2] if ch is not None else np.inf
+            out[present] = self.idfs[ft] * tail
+            return out
+        if isinstance(node, Boost):
+            return self.champ_tail_bounds(node.child, D) * node.factor
+        if isinstance(node, DisMax):
+            kid = np.stack([self.champ_tail_bounds(c, D)
+                            for c in node.children])
+            mx = kid.max(axis=0)
+            sm = kid.sum(axis=0)
+            return mx + (sm - mx) * node.tiebreaker
+        if isinstance(node, Boolean):
+            out = np.zeros(len(D), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    out += self.champ_tail_bounds(m, D)
+            for s in node.shoulds:
+                out += self.champ_tail_bounds(s, D)
+            return out
+        return np.full(len(D), np.inf)
 
     # ---------------------------------------------------------- candidates
     def candidates(self, node: QueryNode) -> np.ndarray:
@@ -555,13 +732,72 @@ def _ff_select(ff_ids: np.ndarray, C: np.ndarray) -> np.ndarray:
     return sel_c
 
 
+CHAMP_KERNEL_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),   # -1 = summary row
+    T.StructField("score", T.DoubleType(), False),  # f32-valued
+    T.StructField("n_total", T.LongType(), False),
+    T.StructField("tail_bound", T.DoubleType(), False),
+    T.StructField("n_blocks", T.LongType(), False),
+])
+
+
+def make_champion_kernel(idf: float, avgdl_now: float, factor: float, k: int):
+    """mapInPandas kernel over champion rows (build/champions.py) for ONE
+    (field, term): decode the ≤C impact-ordered postings, score them with
+    the CURRENT global avgdl (bit-identical arithmetic to
+    _ShardEval._tfnorm — f64 in, f32 at the heap boundary), and emit this
+    row's top-k plus a summary row carrying the exact match count and the
+    shard's non-champion score bound:
+
+        tail_bound = idf_now · tail_tfnorm_build · max(1, avgdl_now/avgdl_build)
+
+    (tfnorm is monotone in avgdl with ratio ≤ avgdl ratio — the same
+    algebra as the tiered block-max rescale, tiered.py docstring — so the
+    bound stays TRUE under avgdl drift across tiers/generations). The
+    driver serves from champions only when its k-th f32 score strictly
+    beats every row's f32 tail bound; f32 round-to-nearest is monotone, so
+    any non-champion score s ≤ tail_bound satisfies f32(s) ≤ f32(bound)
+    < θ — no tie is possible and doc-id tie-breaks never engage."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                docs = np.frombuffer(r.doc_ids, dtype="<u8").astype(np.int64)
+                tfs = np.frombuffer(r.tfs, dtype="<u4").astype(np.float64)
+                dls = np.frombuffer(r.dls, dtype="<u4").astype(np.float64)
+                tfn = tfs * (K1 + 1.0) / (
+                    tfs + K1 * (1.0 - B + B * dls / avgdl_now))
+                w, ws = _topk_f32(docs, idf * tfn * factor, k)
+                drift = max(1.0, avgdl_now / r.avgdl_build) \
+                    if r.avgdl_build > 0 else 1.0
+                tail = idf * float(r.tail_tfnorm) * drift * factor
+                n = len(w)
+                out.append(pd.DataFrame({
+                    "shard": np.int32(r.shard),
+                    "doc_id": np.concatenate([w, [-1]]),
+                    "score": np.concatenate([ws, [0.0]]),
+                    "n_total": np.int64(r.n_total),
+                    "tail_bound": np.float64(tail),
+                    "n_blocks": np.int64(r.n_blocks),
+                }, index=range(n + 1)))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return gen
+
+
 def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 after: tuple[float, int] | None, ascending: bool,
                 seed_min: int = SEED_MIN, with_meta: bool = False,
                 sort_field: str | None = None,
                 fastfield_dir=None, shard_span: int = 0,
                 agg_spec: dict[str, list[tuple[float, float]]] | None = None,
-                filter_spec: dict[str, tuple[float, float]] | None = None):
+                filter_spec: dict[str, tuple[float, float]] | None = None,
+                with_champs: bool = False):
     """Build the per-shard applyInPandas function (closure is pickled).
 
     with_meta=True produces a COGROUP kernel: the right frame carries this
@@ -598,10 +834,11 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
     for not having per-shard fast fields. Requires fastfield_dir."""
 
     def run(shard: int, pdf: pd.DataFrame,
-            meta: pd.DataFrame | None) -> pd.DataFrame:
+            meta: pd.DataFrame | None,
+            champs: pd.DataFrame | None = None) -> pd.DataFrame:
         if not len(pdf):
             return _empty_kernel_frame()
-        ev = _ShardEval(pdf, idfs, avgdl)
+        ev = _ShardEval(pdf, idfs, avgdl, champs=champs)
         blocks_total = len(pdf)
         C = ev.candidates(node)
         mids = msort = None
@@ -726,6 +963,32 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 sc = ev.scores(node, C)
                 docs, scores = _topk_f32(C, sc, k)
                 return frame(docs, scores, scores, total)
+            if champs is not None and ev.champ_ok(node):
+                # champion-seeded selection: the seed is the TRUE per-term
+                # top-C by impact (scored from stored tf/dl — no block
+                # decode), so θ is near-final after one pass; non-head docs
+                # are pruned by the per-doc tail bound ∧ block bound.
+                # Lossless by the monotone-f32 argument: any pruned doc's
+                # score s ≤ ub ⟹ f32(s) ≤ f32(ub) < θ — strictly below,
+                # so neither the top-k set nor any tie-break can change.
+                E = np.intersect1d(ev.champ_seed(node), C,
+                                   assume_unique=True)
+                if len(E) >= k:
+                    es = ev.scores_seeded(node, E)
+                    _d1, s1 = _topk_f32(E, es, k)
+                    theta32 = np.float32(s1[-1])
+                    rest = np.setdiff1d(C, E, assume_unique=True)
+                    docs, scores = E, es
+                    if len(rest):
+                        ub = np.minimum(ev.champ_tail_bounds(node, rest),
+                                        ev.bounds(node, rest))
+                        surv = rest[ub.astype(np.float32) >= theta32]
+                        if len(surv):
+                            sc2 = ev.scores_seeded(node, surv)
+                            docs = np.concatenate([E, surv])
+                            scores = np.concatenate([es, sc2])
+                    docs, scores = _topk_f32(docs, scores, k)
+                    return frame(docs, scores, scores, total)
             ub = ev.bounds(node, C)
             order = np.argsort(-ub, kind="stable")
             seed = order[:seed_n]
@@ -763,10 +1026,34 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
     if with_meta:
         def kernel(key, pdf: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
             return run(int(key[0]), pdf, meta)
+    elif with_champs:
+        def kernel(key, pdf: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+            return run(int(key[0]), pdf, None, champs=ch)
     else:
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return run(int(key[0]), pdf, None)
     return kernel
+
+
+def champ_tree_ok(node: QueryNode) -> bool:
+    """Driver-side shape check for the champion-seeded kernel: pure
+    Term/Boost/DisMax/Boolean trees (Phrase has no champion analog; All
+    appears only in pure-negative trees, which score nothing). The
+    per-shard data check (every scoring leaf has rows) happens in-kernel
+    (_ShardEval.champ_ok) with a lossless per-shard fallback."""
+    if isinstance(node, Term):
+        return True
+    if isinstance(node, Boost):
+        return champ_tree_ok(node.child)
+    if isinstance(node, DisMax):
+        return all(champ_tree_ok(c) for c in node.children)
+    if isinstance(node, Boolean):
+        # must_nots only shape the candidate set (doc_deltas / positions
+        # algebra, champion-independent) — no shape constraint on them
+        return (all(champ_tree_ok(m) for m in node.musts
+                    if not isinstance(m, All))
+                and all(champ_tree_ok(s) for s in node.shoulds))
+    return False
 
 
 # ===================================================================== driver
@@ -783,6 +1070,11 @@ class KernelResult:
     # fused aggregation output: {feat: [(count, min, max), ...]} aligned
     # with the requested ranges; None unless agg_query was passed
     agg: dict[str, list[tuple[int, float | None, float | None]]] | None = None
+    # True when the result was served from the per-term champion sidecar
+    # (impact-ordered posting heads) instead of the block kernel — results
+    # are identical either way (lossless tail bound); this flag is pure
+    # observability for tests and the bench's blocks counters
+    champion_served: bool = False
 
 
 @dataclass
@@ -855,6 +1147,15 @@ class FastTopK:
         else:
             self._ff_dir = None
             self._ff_cols = set()
+        # per-term champion sidecar (build/champions.py): single-term
+        # relevance page-1 queries — the one shape block-max pruning cannot
+        # prune on tfnorm-saturated corpora — are answered from O(C)
+        # impact-ordered postings per shard with a lossless fallback bound.
+        ch = self.reader.champions_spec()
+        if ch is not None and int(ch["shard_span"]) == self._span:
+            self._champ = _pin(self.reader.champions_df(self._sess))
+        else:
+            self._champ = None
         # observability for plan tests: the last kernel job's DataFrame
         self.last_job: DataFrame | None = None
 
@@ -864,14 +1165,16 @@ class FastTopK:
 
     def close(self) -> None:
         """Release the pinned index tables (serving-layer refresh path)."""
-        for df in (self._seg, self._meta):
+        for df in (self._seg, self._meta, self._champ):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
                 pass
 
-    def _segments_for(self, terms: set[tuple[str, str]]) -> DataFrame:
-        seg = self._seg
+    @staticmethod
+    def _term_cond(terms: set[tuple[str, str]]):
         by_field: dict[str, list[str]] = {}
         for f_, t_ in terms:
             by_field.setdefault(f_, []).append(t_)
@@ -879,7 +1182,50 @@ class FastTopK:
         for f_, ts in by_field.items():
             c = (F.col("field") == f_) & F.col("term").isin(*ts)
             cond = c if cond is None else (cond | c)
-        return seg.filter(cond)
+        return cond
+
+    def _segments_for(self, terms: set[tuple[str, str]]) -> DataFrame:
+        return self._seg.filter(self._term_cond(terms))
+
+    def _champion_search(self, field: str, term: str, idf: float,
+                         factor: float, k: int) -> KernelResult | None:
+        """Serve a single-term top-k from the champion sidecar, or return
+        None when the lossless bound cannot be established (the caller then
+        runs the full block kernel — one wasted tiny job, never a wrong
+        answer). One Spark job: the champions scan prunes to ~one file via
+        parquet min/max on the (field, term)-sorted layout, the kernel
+        emits ≤k+1 rows per champion row, and the driver merge is the same
+        merge_fruits shape as the main path."""
+        avgdl_now = float(self.avgdl_by_field[field])
+        kern = make_champion_kernel(idf, avgdl_now, factor, k)
+        job = (self._champ
+               .filter((F.col("field") == field) & (F.col("term") == term))
+               .mapInPandas(kern, CHAMP_KERNEL_SCHEMA))
+        self.last_job = job
+        pdf = job.toPandas()
+        if not len(pdf):
+            # term has postings (df > 0) but no champion rows → sidecar is
+            # stale relative to segments; the block path is authoritative
+            return None
+        summ = pdf[pdf["doc_id"] == -1]
+        tails = summ["tail_bound"].to_numpy(np.float64)
+        complete = bool((tails == 0.0).all())
+        hits_pdf = pdf[pdf["doc_id"] >= 0]
+        docs = hits_pdf["doc_id"].to_numpy(np.int64)
+        s32 = hits_pdf["score"].to_numpy(np.float64).astype(np.float32)
+        order = np.lexsort((docs, -s32))[:k]
+        if len(order) >= k:
+            theta = s32[order[k - 1]]
+            if not (complete or (tails.astype(np.float32) < theta).all()):
+                return None
+        elif not complete:
+            return None
+        total = int(summ["n_total"].sum())
+        hits = [(int(docs[i]), float(s32[i])) for i in order]
+        return KernelResult(
+            total=total, visited=total, hits=hits,
+            blocks_total=int(summ["n_blocks"].sum()), blocks_scored=0,
+            champion_served=True)
 
     def search(self, node: QueryNode, k: int = 10,
                after: tuple[float, int] | None = None,
@@ -889,6 +1235,7 @@ class FastTopK:
                seed_min: int = SEED_MIN,
                agg_query: dict[str, list[tuple]] | None = None,
                range_filters: dict[str, tuple] | None = None,
+               use_champions: bool = True,
                ) -> KernelResult:
         """range_filters: {feat: (lo, hi)} half-open null-excluding range
         filters, evaluated IN-KERNEL against the shard-local sidecar (r4) —
@@ -947,12 +1294,45 @@ class FastTopK:
             raise ValueError("in-kernel range filters need the fast-field "
                              "sidecar covering every filtered feature; "
                              "pass Column preds instead")
+        # Champion fast path: single-term (or boosted single-term)
+        # relevance-descending page-1 queries with no filter/sort/agg read
+        # O(C) impact-ordered postings per shard instead of decoding every
+        # block (hot-term block-max saturation, VERDICT r4 "What's missing"
+        # #3). Lossless: _champion_search verifies the k-th f32 score
+        # strictly beats every shard's non-champion tail bound, else
+        # returns None and the full block kernel runs below. Pagination
+        # (`after`), ascending order, filters, field sorts and fused aggs
+        # all need postings beyond the heads, so they never route here.
+        if (use_champions and self._champ is not None and after is None
+                and not ascending and sort_feature is None and not agg_query
+                and not range_filters and not preds):
+            base, fac = node, 1.0
+            if isinstance(base, Boost) and base.factor > 0:
+                base, fac = base.child, float(base.factor)
+            if isinstance(base, Term) and (base.field, base.text) in idfs:
+                res = self._champion_search(
+                    base.field, base.text,
+                    idfs[(base.field, base.text)], fac, k)
+                if res is not None:
+                    return res
+
         use_ff_sort = (sort_feature is not None
                        and self._ff_dir is not None
                        and sort_feature in self._ff_cols)
         with_meta = bool(preds) or (sort_feature is not None
                                     and not use_ff_sort)
         need_sidecar = use_ff_sort or bool(agg_query) or bool(range_filters)
+        # champion-seeded kernel (multi-leaf trees — the 2-field DisMax
+        # every fulltext query expands to): cogroup the shard's champion
+        # rows next to its blocks; the kernel seeds θ from the exact
+        # impact-ordered heads and prunes the rest with per-doc tail
+        # bounds. Never combined with the docmeta cogroup (preds excluded
+        # above → with_meta here means non-ff sort, which ranks by feature
+        # and does no score pruning anyway).
+        use_champs = (use_champions and self._champ is not None
+                      and after is None and not ascending
+                      and sort_feature is None and not preds
+                      and champ_tree_ok(node))
         kernel = make_kernel(
             node, idfs, self.avgdl_by_field, k, after, ascending,
             seed_min=seed_min, with_meta=with_meta, sort_field=sort_feature,
@@ -962,7 +1342,8 @@ class FastTopK:
                       for f, r in agg_query.items()} if agg_query else None,
             filter_spec={f: (float(lo), float(hi))
                          for f, (lo, hi) in range_filters.items()}
-            if range_filters else None)
+            if range_filters else None,
+            with_champs=use_champs)
         seg = self._segments_for(live)
         if not tree_has_phrase(node):
             # positions blobs are only decoded for phrase adjacency — for
@@ -992,6 +1373,10 @@ class FastTopK:
             meta = meta.select(*cols).withColumn(
                 "shard", (F.col("doc_id") / F.lit(self._span)).cast("int"))
             job = (seg.groupBy("shard").cogroup(meta.groupBy("shard"))
+                   .applyInPandas(kernel, KERNEL_SCHEMA))
+        elif use_champs:
+            ch = self._champ.filter(self._term_cond(live))
+            job = (seg.groupBy("shard").cogroup(ch.groupBy("shard"))
                    .applyInPandas(kernel, KERNEL_SCHEMA))
         else:
             job = (seg.groupBy("shard")

@@ -143,6 +143,20 @@ class IndexReader:
                 "columns": list(m["columns"]),
                 "locations": os.path.join(self.index_dir, "fastfields")}
 
+    def champions_spec(self) -> dict | None:
+        """Per-term champion sidecar descriptor {shard_span, cap}
+        (build/champions.py), or None when absent. FastTopK serves
+        single-term relevance top-k from it when the lossless tail bound
+        holds; span mismatch (stale sidecar after re-encode) disables it."""
+        from cantine_spark.build.champions import load_champions_meta
+        m = load_champions_meta(self.index_dir)
+        if m is None:
+            return None
+        return {"shard_span": int(m["shard_span"]), "cap": int(m["cap"])}
+
+    def champions_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "champions"))
+
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
     #      range-partitioned + sorted by doc_id → parquet row-group pruning.

@@ -182,6 +182,12 @@ class StreamingIndexer:
         # fresh build (field sorts / fused aggs stay O(matches) after merge)
         from cantine_spark.build.segments import write_fastfields
         write_fastfields(spark, out, span)
+        # ... and the per-term champion sidecar (hot-term fast path); each
+        # tier's champions carry ITS avgdl — the query-side tail bound
+        # rescales by max(1, avgdl_global/avgdl_tier), mirroring the tiered
+        # block-max rescale
+        from cantine_spark.build.champions import write_champions
+        write_champions(spark, out, avgdl, span)
 
         if covered is None:
             covered = self._load_state()["generations"]

@@ -228,3 +228,22 @@ class TieredIndexReader(IndexReader):
                 "locations": [(lo, hi, os.path.join(d, "fastfields"))
                               for (lo, hi), d in zip(self._ranges,
                                                      self.tier_dirs)]}
+
+    def champions_spec(self) -> dict | None:
+        """Champion sidecar across tiers: available only when EVERY tier
+        carries one at the shared span (a tier built pre-champions would
+        make the union lossy — fall back to the block kernel). No avgdl
+        rescale is needed here: each champion row stores its tier's
+        avgdl_build, and the query-side tail bound applies
+        max(1, avgdl_global/avgdl_build) per row (make_champion_kernel)."""
+        from cantine_spark.build.champions import load_champions_meta
+        metas = [load_champions_meta(d) for d in self.tier_dirs]
+        if any(m is None for m in metas):
+            return None
+        if {int(m["shard_span"]) for m in metas} != {self._span}:
+            return None
+        return {"shard_span": self._span,
+                "cap": min(int(m["cap"]) for m in metas)}
+
+    def champions_df(self, spark: SparkSession) -> DataFrame:
+        return self._union("champions", spark)

@@ -1,0 +1,226 @@
+"""Per-term champion sidecar (build/champions.py + the seeded kernel path
+in execution/wand.py): hot-term top-k served from impact-ordered posting
+heads must be LOSSLESS — identical totals, doc_ids and f32 scores to the
+champion-free block path — while provably decoding fewer blocks. This is
+beyond-reference work on the reference's own hot-term weakness (tantivy
+scores every match, tique top_collector.rs:228-237); correctness is pinned
+by differential equality against the r4 block path, which the rest of the
+suite already pins against the relational path and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cantine_spark.build.builder import build_index
+from cantine_spark.build.champions import (
+    CHAMP_COUNT, load_champions_meta, write_champions,
+)
+from cantine_spark.build.segments import build_segments, load_segments_meta
+from cantine_spark.corpus import generate_corpus, with_doc_ids
+from cantine_spark.execution.wand import FastTopK
+from cantine_spark.index import IndexReader
+from cantine_spark.plans.nodes import Boolean, Boost, DisMax, Phrase, Term
+
+K = 10
+
+HOT = Term("content", "def")
+# the 2-field DisMax every engine fulltext query expands to (parser
+# multi-field expansion, main.rs:156) — the q_hot_term production shape
+HOT_DISMAX = DisMax((Term("content", "def"), Term("path", "def")), 0.1)
+
+
+@pytest.fixture(scope="module")
+def champ_idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("champ_idx"))
+    build_index(spark, with_doc_ids(generate_corpus(spark, 1200,
+                                                    partitions=4)), d)
+    build_segments(spark, d, shard_span=300)  # 4 shards
+    return d
+
+
+@pytest.fixture(scope="module")
+def champ_fast(spark, champ_idx):
+    return FastTopK(IndexReader(spark, champ_idx))
+
+
+def _same(a, b):
+    assert (a.total, a.visited) == (b.total, b.visited)
+    assert [(d, np.float32(s)) for d, s in a.hits] == \
+        [(d, np.float32(s)) for d, s in b.hits]
+
+
+def plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------ build side
+
+
+def test_sidecar_written_with_segments(index_dir, reader):
+    """build_segments rewrites the champion sidecar with the segments (same
+    span discipline as fastfields — they can never disagree)."""
+    meta = load_champions_meta(index_dir)
+    assert meta is not None
+    assert meta["shard_span"] == load_segments_meta(index_dir)["shard_span"]
+    assert meta["cap"] == CHAMP_COUNT
+    assert reader.champions_spec() == {
+        "shard_span": meta["shard_span"], "cap": meta["cap"]}
+
+
+def test_champion_rows_are_true_tfnorm_heads(spark, champ_idx):
+    """For a hot (field, term, shard): the stored head IS the top-C by
+    build tfnorm over that shard's postings, complete groups store
+    tail_tfnorm = 0, and truncated groups store the max non-head tfnorm."""
+    from cantine_spark.execution.scoring import B, K1
+    ch = (spark.read.parquet(os.path.join(champ_idx, "champions"))
+          .filter("field = 'content' AND term = 'def'").toPandas()
+          .sort_values("shard").reset_index(drop=True))
+    assert len(ch) >= 2
+    stats = (spark.read.parquet(os.path.join(champ_idx, "index_stats"))
+             .toPandas().set_index("field"))
+    av = float(stats.loc["content", "avgdl"])
+    post = (spark.read.parquet(os.path.join(champ_idx, "postings"))
+            .filter("field = 'content' AND term = 'def'")
+            .select("doc_id", "tf", "dl").toPandas())
+    span = load_segments_meta(champ_idx)["shard_span"]
+    for r in ch.itertuples(index=False):
+        grp = post[post.doc_id // span == r.shard]
+        tf = grp.tf.to_numpy(np.float64)
+        dl = grp.dl.to_numpy(np.float64)
+        tfn = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / av))
+        order = np.lexsort((grp.doc_id.to_numpy(), -tfn))
+        docs = np.frombuffer(r.doc_ids, dtype="<u8").astype(np.int64)
+        want = grp.doc_id.to_numpy()[order[:len(docs)]]
+        assert list(docs) == list(want)
+        assert r.n_total == len(grp)
+        if len(grp) <= len(docs):
+            assert r.tail_tfnorm == 0.0
+        else:
+            assert np.isclose(r.tail_tfnorm, tfn[order[len(docs)]])
+
+
+# ------------------------------------------------------- query-side paths
+
+
+def test_bare_term_served_without_touching_segments(champ_fast):
+    """A single-term relevance top-k reads ONLY the champion sidecar — no
+    segments scan in the plan, zero blocks decoded — and is bit-equal to
+    the block path."""
+    a = champ_fast.search(HOT, k=K)
+    assert a.champion_served and a.blocks_scored == 0
+    plan = plan_of(champ_fast.last_job)
+    locs = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert len(locs) == 1 and "champions" in locs[0]
+    b = champ_fast.search(HOT, k=K, use_champions=False)
+    assert not b.champion_served
+    _same(a, b)
+
+
+def test_hot_dismax_seeded_kernel_lossless_and_prunes(champ_fast):
+    """The production hot-term shape: champion-seeded kernel equals the
+    block path exactly while decoding strictly fewer blocks."""
+    a = champ_fast.search(HOT_DISMAX, k=K, seed_min=8)
+    b = champ_fast.search(HOT_DISMAX, k=K, seed_min=10_000,
+                          use_champions=False)
+    _same(a, b)
+    assert a.blocks_scored < b.blocks_scored, (
+        f"champion seed decoded {a.blocks_scored}/{a.blocks_total}")
+
+
+@pytest.mark.parametrize("node", [
+    Boolean(musts=(Term("content", "def"), Term("content", "return"))),
+    Boolean(shoulds=(Term("content", "def"), Term("content", "import"))),
+    Boolean(shoulds=(Term("content", "def"),),
+            must_nots=(Term("content", "import"),)),
+    Boost(Term("content", "def"), 2.5),
+    DisMax((Boost(Term("path", "src"), 1.15), Term("content", "def")), 0.1),
+], ids=["must", "should", "mustnot", "boost", "dismax_boost"])
+def test_tree_equality_champion_vs_block(champ_fast, node):
+    a = champ_fast.search(node, k=K, seed_min=8)
+    b = champ_fast.search(node, k=K, seed_min=10_000, use_champions=False)
+    _same(a, b)
+
+
+def test_filtered_and_fused_agg_ride_the_seeded_kernel(champ_fast):
+    """In-kernel range filters and fused aggregation compose with champion
+    seeding: the seed intersects the filtered candidate set, agg partials
+    come from the FULL candidate set — both bit-equal to the block path."""
+    kw = dict(range_filters={"num_lines": (3, 60)},
+              agg_query={"num_lines": [(0, 30), (30, 10**6)]})
+    a = champ_fast.search(HOT_DISMAX, k=K, seed_min=8, **kw)
+    b = champ_fast.search(HOT_DISMAX, k=K, seed_min=10_000,
+                          use_champions=False, **kw)
+    _same(a, b)
+    assert a.agg == b.agg
+    assert sum(c for c, _, _ in a.agg["num_lines"]) == a.total
+
+
+def test_pagination_never_served_from_champions(champ_fast):
+    """after-cursors need exact visited counts below the cursor — the
+    champion heads cannot provide them, so page 2 must run the exact
+    path (and stay equal to the champion-free page 2)."""
+    p1 = champ_fast.search(HOT, k=K)
+    after = (p1.hits[-1][1], p1.hits[-1][0])
+    p2 = champ_fast.search(HOT, k=K, after=after)
+    assert not p2.champion_served
+    p2_ref = champ_fast.search(HOT, k=K, after=after, use_champions=False)
+    _same(p2, p2_ref)
+    assert not ({d for d, _ in p1.hits} & {d for d, _ in p2.hits})
+
+
+def test_rare_term_complete_list_serves_below_k(champ_fast):
+    """Rare terms (n ≤ C) are stored COMPLETE (tail 0): served from the
+    sidecar even when the result has fewer than k hits."""
+    node = Term("content", "uniqterm00000007")
+    a = champ_fast.search(node, k=K)
+    assert a.champion_served and a.total == 1 and len(a.hits) == 1
+    b = champ_fast.search(node, k=K, use_champions=False)
+    _same(a, b)
+
+
+def test_tiny_cap_tail_bound_forces_fallback(spark, champ_idx, champ_fast):
+    """cap=1 heads cannot cover k=10 against a nonzero tail bound: the
+    driver must detect it and fall back to the block path — same results,
+    champion_served False. Restores the default-cap sidecar afterwards."""
+    stats = (spark.read.parquet(os.path.join(champ_idx, "index_stats"))
+             .toPandas())
+    avgdl = {r["field"]: float(r["avgdl"]) for _, r in stats.iterrows()}
+    span = load_segments_meta(champ_idx)["shard_span"]
+    try:
+        write_champions(spark, champ_idx, avgdl, span, cap=1)
+        fast = FastTopK(IndexReader(spark, champ_idx))
+        a = fast.search(HOT, k=K)
+        assert not a.champion_served
+        b = fast.search(HOT, k=K, use_champions=False)
+        _same(a, b)
+    finally:
+        write_champions(spark, champ_idx, avgdl, span)
+
+
+def test_stale_span_disables_champions(spark, champ_idx):
+    """A span-mismatched sidecar (segments re-encoded, champions not yet
+    rewritten — can't happen through build_segments, but fail safe) must
+    disable the champion path entirely, not serve wrong shards."""
+    meta_p = os.path.join(champ_idx, "champions", "_CHAMPIONS_META.json")
+    orig = open(meta_p).read()
+    try:
+        m = json.loads(orig)
+        m["shard_span"] = m["shard_span"] + 1
+        with open(meta_p, "w") as f:
+            json.dump(m, f)
+        fast = FastTopK(IndexReader(spark, champ_idx))
+        assert fast._champ is None
+        a = fast.search(HOT, k=K)
+        assert not a.champion_served and a.hits
+    finally:
+        with open(meta_p, "w") as f:
+            f.write(orig)

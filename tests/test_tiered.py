@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -200,3 +201,27 @@ def test_single_tier_reader_equals_plain(spark, tiered_env):
     q = {"fulltext": "def return", "num_items": 10,
          "filter": {"num_lines": [8, 45]}}
     _same(e1.search(dict(q)), e2.search(dict(q)))
+
+
+def test_tiered_champions_engage_with_drift_safe_bound(spark, tiered_env):
+    """Champion sidecars union across tiers: the spec is present (every
+    tier carries one at the shared span), a hot single-term query is
+    SERVED from champions — scored with the GLOBAL avgdl, tail bounds
+    rescaled per tier by max(1, avgdl_global/avgdl_tier) — and is
+    bit-equal to both the champion-free tiered path and the fully
+    compacted index."""
+    from cantine_spark.execution.wand import FastTopK
+    from cantine_spark.plans.nodes import Term
+    full_dir, tiers, _, _ = tiered_env
+    r_tier = TieredIndexReader(spark, tiers)
+    assert r_tier.champions_spec() is not None
+    f_tier = FastTopK(r_tier)
+    f_full = FastTopK(IndexReader(spark, full_dir))
+    node = Term("content", "def")
+    a = f_tier.search(node, k=10)
+    assert a.champion_served and a.blocks_scored == 0
+    for ref in (f_tier.search(node, k=10, use_champions=False),
+                f_full.search(node, k=10)):
+        assert a.total == ref.total
+        assert [(d, float(np.float32(s))) for d, s in a.hits] == \
+            [(d, float(np.float32(s))) for d, s in ref.hits]

@@ -160,7 +160,8 @@ def test_and_rare_hot_skips_hot_blocks(big_fast):
     assert r.blocks_scored < r.blocks_total, (
         f"scored {r.blocks_scored}/{r.blocks_total}")
     assert r.blocks_scored <= 4
-    full = big_fast.search(node, k=5, seed_min=10_000)
+    full = big_fast.search(node, k=5, seed_min=10_000,
+                           use_champions=False)
     assert_same((r.total, r.hits), (full.total, full.hits))
 
 
@@ -171,7 +172,8 @@ def test_or_rare_plus_hot_prunes_hot_tail(big_fast):
     node = Boolean(shoulds=(Term("content", "def"),
                             Term("content", "uniqterm00000007")))
     r = big_fast.search(node, k=1, seed_min=8)
-    full = big_fast.search(node, k=1, seed_min=10_000)
+    full = big_fast.search(node, k=1, seed_min=10_000,
+                           use_champions=False)
     assert_same((r.total, r.hits), (full.total, full.hits))
     assert full.blocks_scored == full.blocks_total
     assert r.blocks_scored < r.blocks_total, (
@@ -185,7 +187,8 @@ def test_hot_term_pruned_path_is_lossless(big_fast):
     reference's visit-everything collector)."""
     node = Term("content", "def")
     r = big_fast.search(node, k=5, seed_min=32)
-    full = big_fast.search(node, k=5, seed_min=10_000)
+    full = big_fast.search(node, k=5, seed_min=10_000,
+                           use_champions=False)
     assert r.total > 1000
     assert_same((r.total, r.hits), (full.total, full.hits))
     assert r.blocks_scored <= full.blocks_scored
