@@ -186,6 +186,11 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
             # the socket round-trip — the number a real client sees. Safe
             # because kernel jobs run on a cloned, never-mutated session
             # (wand.py) and pinned tables are read-only.
+            #
+            # r5: measured twice — per-request dispatch vs QueryBatcher
+            # micro-batching (requests arriving within a ~5 ms window share
+            # ONE kernel Spark job + ONE hydration scan, amortizing the
+            # fixed per-job scheduler floor that caps unbatched QPS).
             import queue as _q
             import threading
             import types
@@ -194,46 +199,56 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
             from cantine_spark.httpserve import SearchHTTPServer
             n_threads = int(os.environ.get("SPARK_GRAFT_QPS_THREADS", "8"))
             n_total = int(os.environ.get("SPARK_GRAFT_QPS_QUERIES", "120"))
-            work: _q.Queue = _q.Queue()
-            for j in range(n_total):
-                work.put(BENCH_QUERIES[j % len(BENCH_QUERIES)][1])
-            errors: list = []
             backend = types.SimpleNamespace(engine=engine,
                                             search=engine.search)
-            with SearchHTTPServer(backend, poll_seconds=0) as http:
-                url = http.url + "/search"
 
-                def drain():
-                    while True:
-                        try:
-                            q = work.get_nowait()
-                        except _q.Empty:
-                            return
-                        try:
-                            req = urllib.request.Request(
-                                url, data=json.dumps(q).encode(),
-                                headers={"Content-Type": "application/json"})
-                            with urllib.request.urlopen(req, timeout=120) as r:
-                                if r.status != 200:
-                                    errors.append(f"http {r.status}")
-                                else:
-                                    json.load(r)
-                        except Exception as e:  # noqa: BLE001
-                            errors.append(repr(e))
+            def run_qps(batch_window_ms: float) -> dict:
+                work: _q.Queue = _q.Queue()
+                for j in range(n_total):
+                    work.put(BENCH_QUERIES[j % len(BENCH_QUERIES)][1])
+                errors: list = []
+                with SearchHTTPServer(
+                        backend, poll_seconds=0,
+                        batch_window_ms=batch_window_ms) as http:
+                    url = http.url + "/search"
 
-                wait_for_quiet()
-                t0 = time.time()
-                threads = [threading.Thread(target=drain)
-                           for _ in range(n_threads)]
-                for t in threads:
-                    t.start()
-                for t in threads:
-                    t.join()
-                wall = time.time() - t0
-            out["qps"] = {"threads": n_threads, "queries": n_total,
-                          "wall_s": round(wall, 2),
-                          "qps": round(n_total / wall, 1),
-                          "via": "http", "errors": len(errors)}
+                    def drain():
+                        while True:
+                            try:
+                                q = work.get_nowait()
+                            except _q.Empty:
+                                return
+                            try:
+                                req = urllib.request.Request(
+                                    url, data=json.dumps(q).encode(),
+                                    headers={
+                                        "Content-Type": "application/json"})
+                                with urllib.request.urlopen(
+                                        req, timeout=300) as r:
+                                    if r.status != 200:
+                                        errors.append(f"http {r.status}")
+                                    else:
+                                        json.load(r)
+                            except Exception as e:  # noqa: BLE001
+                                errors.append(repr(e))
+
+                    wait_for_quiet()
+                    t0 = time.time()
+                    threads = [threading.Thread(target=drain)
+                               for _ in range(n_threads)]
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        t.join()
+                    wall = time.time() - t0
+                return {"threads": n_threads, "queries": n_total,
+                        "wall_s": round(wall, 2),
+                        "qps": round(n_total / wall, 1),
+                        "via": "http", "errors": len(errors),
+                        "batch_window_ms": batch_window_ms}
+
+            out["qps_unbatched"] = run_qps(0)
+            out["qps"] = run_qps(5.0)  # micro-batched — the serving default
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -308,6 +323,8 @@ def main() -> None:
         "loadavg_at_queries": result["loadavg_at_queries"],
         "pruning": result.get("pruning", {}),
         **({"qps": result["qps"]} if "qps" in result else {}),
+        **({"qps_unbatched": result["qps_unbatched"]}
+           if "qps_unbatched" in result else {}),
         **({"scaling": result["scaling"]} if "scaling" in result else {}),
     }))
 

@@ -216,6 +216,19 @@ class SearchEngine:
         only when total ≤ threshold — at 100 TB the gate exists precisely so
         a hot query does NOT pay the aggregation scan, which a fuse-anyway-
         and-discard design would re-introduce."""
+        ctx = self._segment_ctx(node, k, after, query, preds, sort_feature)
+        res = self._fast.search(**ctx["spec"])
+        # hits are already kernel-ordered (sort key, doc_id tiebreak);
+        # hydration is one pruned isin-scan of the doc store
+        by_id = (self.executor.hydrate_ids([d for d, _ in res.hits])
+                 if res.hits else {})
+        return self._assemble_segment_result(ctx, res, by_id)
+
+    def _segment_ctx(self, node: QueryNode, k: int, after: tuple | None,
+                     query: SearchQuery, preds: list | None,
+                     sort_feature: str | None) -> dict:
+        """Build the kernel spec + assembly context for one segment-path
+        query (shared by _search_segments and search_batch)."""
         fuse_agg = (query.agg is not None and self.agg_threshold is None
                     and self._fast.has_fastfields
                     and set(query.agg) <= self._fast._ff_cols)
@@ -231,17 +244,26 @@ class SearchEngine:
             kernel_filters = {f_: (lo, hi)
                               for f_, (lo, hi) in query.filter.items()}
             preds = None
-        res = self._fast.search(node, k=k, after=after,
-                                ascending=query.ascending,
-                                preds=preds, sort_feature=sort_feature,
-                                agg_query=agg_q,
-                                range_filters=kernel_filters)
+        spec = dict(node=node, k=k, after=after,
+                    ascending=query.ascending, preds=preds,
+                    sort_feature=sort_feature, agg_query=agg_q,
+                    range_filters=kernel_filters)
+        return {"spec": spec, "query": query, "node": node, "k": k,
+                "preds": preds, "sort_feature": sort_feature,
+                "fuse_agg": fuse_agg, "kernel_filters": kernel_filters}
+
+    def _assemble_segment_result(self, ctx: dict, res,
+                                 by_id: dict[int, dict]) -> SearchResult:
+        """Turn one KernelResult + hydrated winner rows into a
+        SearchResult (items, cursor, agg, stats). by_id may cover a whole
+        batch's winners — only this query's ids are read."""
+        query: SearchQuery = ctx["query"]
+        k, sort_feature = ctx["k"], ctx["sort_feature"]
+        fuse_agg, kernel_filters = ctx["fuse_agg"], ctx["kernel_filters"]
+        node, preds = ctx["node"], ctx["preds"]
         feat = self.features[sort_feature] if sort_feature else None
         items: list[dict] = []
         if res.hits:
-            # hits are already kernel-ordered (sort key, doc_id tiebreak);
-            # hydration is one pruned isin-scan of the doc store
-            by_id = self.executor.hydrate_ids([d for d, _ in res.hits])
             for i, (d, s) in enumerate(res.hits):
                 if sort_feature is None:
                     sv: float | int = s
@@ -423,3 +445,59 @@ class SearchEngine:
                                 next=next_cursor, agg=agg)
         finally:
             ranked.unpersist()
+
+    # ---------------------------------------------------------- search_batch
+    def search_batch(self, queries: list[SearchQuery | dict]
+                     ) -> list[SearchResult]:
+        """Answer a micro-batch of queries with at most two kernel Spark
+        jobs plus ONE shared hydration scan (FastTopK.search_many has the
+        full rationale: every driver-scheduled job pays a fixed ~100-200 ms
+        floor, so batching N concurrent queries amortizes it N-fold —
+        the serving-throughput lever behind httpserve.QueryBatcher).
+
+        Per-query results are identical to search() (differential-tested).
+        Shapes the batch kernel does not cover run solo transparently:
+        relational-path trees (match-all / pure-negative), docmeta-cogroup
+        fallbacks (pre-sidecar indexes), and gated or sidecar-uncovered
+        aggregations (their second pass needs per-query totals first).
+
+        Raises BadRequest on the FIRST invalid query — callers that need
+        per-query error isolation (the HTTP batcher) validate each query
+        before batching."""
+        parsed: list[SearchQuery] = []
+        for q in queries:
+            if isinstance(q, dict):
+                q = SearchQuery.from_dict(q, features=self.features)
+            else:
+                q.validate_features(self.features)
+            parsed.append(q)
+        results: list[SearchResult | None] = [None] * len(parsed)
+        ctxs: dict[int, dict] = {}
+        for i, query in enumerate(parsed):
+            k = query.num_items or DEFAULT_ITEMS
+            node, preds = self.interpret(query)
+            after = self._decode_after(query)
+            if self._fast is None or not segment_eligible(node):
+                results[i] = self.search(query)
+                continue
+            sort_feature = (None if query.sort in (None, "relevance")
+                            else query.sort)
+            ctx = self._segment_ctx(node, k, after, query, preds,
+                                    sort_feature)
+            if ctx["spec"]["preds"] or (query.agg and not ctx["fuse_agg"]):
+                # docmeta cogroup / two-pass agg: solo (absent in serving —
+                # the sidecar always exists there and the gate is off)
+                results[i] = self._search_segments(
+                    node, k, after, query, preds=preds,
+                    sort_feature=sort_feature)
+                continue
+            ctxs[i] = ctx
+        if ctxs:
+            order = list(ctxs)
+            kres = self._fast.search_many([ctxs[i]["spec"] for i in order])
+            all_ids = sorted({d for r in kres for d, _ in r.hits})
+            by_id = (self.executor.hydrate_ids(all_ids) if all_ids else {})
+            for i, res in zip(order, kres):
+                results[i] = self._assemble_segment_result(
+                    ctxs[i], res, by_id)
+        return results

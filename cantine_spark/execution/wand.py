@@ -87,6 +87,12 @@ KERNEL_SCHEMA = T.StructType([
 
 SEED_MIN = 256  # exact-score at least this many docs before pruning
 
+# batched-query kernel output: KERNEL_SCHEMA rows tagged with the query id
+# they belong to (FastTopK.search_many — one applyInPandas job answers a
+# whole micro-batch of queries, group key (qid, shard))
+BATCH_KERNEL_SCHEMA = T.StructType(
+    [T.StructField("qid", T.IntegerType(), False)] + list(KERNEL_SCHEMA))
+
 AGG_SCHEMA = T.StructType([
     T.StructField("feat", T.StringType(), False),
     T.StructField("range_idx", T.IntegerType(), False),
@@ -766,24 +772,65 @@ def make_champion_kernel(idf: float, avgdl_now: float, factor: float, k: int):
                 continue
             out = []
             for r in pdf.itertuples(index=False):
-                docs = np.frombuffer(r.doc_ids, dtype="<u8").astype(np.int64)
-                tfs = np.frombuffer(r.tfs, dtype="<u4").astype(np.float64)
-                dls = np.frombuffer(r.dls, dtype="<u4").astype(np.float64)
-                tfn = tfs * (K1 + 1.0) / (
-                    tfs + K1 * (1.0 - B + B * dls / avgdl_now))
-                w, ws = _topk_f32(docs, idf * tfn * factor, k)
-                drift = max(1.0, avgdl_now / r.avgdl_build) \
-                    if r.avgdl_build > 0 else 1.0
-                tail = idf * float(r.tail_tfnorm) * drift * factor
-                n = len(w)
-                out.append(pd.DataFrame({
-                    "shard": np.int32(r.shard),
-                    "doc_id": np.concatenate([w, [-1]]),
-                    "score": np.concatenate([ws, [0.0]]),
-                    "n_total": np.int64(r.n_total),
-                    "tail_bound": np.float64(tail),
-                    "n_blocks": np.int64(r.n_blocks),
-                }, index=range(n + 1)))
+                out.append(_champ_row_frame(r, idf, avgdl_now, factor, k))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return gen
+
+
+def _champ_row_frame(r, idf: float, avgdl_now: float, factor: float,
+                     k: int) -> pd.DataFrame:
+    """Score ONE champion-sidecar row (a (field, term, shard) posting head)
+    with the current idf/avgdl and return its CHAMP_KERNEL_SCHEMA frame:
+    the row's top-k plus a summary row (doc_id == -1) carrying the exact
+    match count and the f32-safe non-champion tail bound. Shared by the
+    single-query and batched champion kernels — the arithmetic must stay
+    bit-identical to _ShardEval._tfnorm (f64 in, f32 at the heap)."""
+    docs = np.frombuffer(r.doc_ids, dtype="<u8").astype(np.int64)
+    tfs = np.frombuffer(r.tfs, dtype="<u4").astype(np.float64)
+    dls = np.frombuffer(r.dls, dtype="<u4").astype(np.float64)
+    tfn = tfs * (K1 + 1.0) / (
+        tfs + K1 * (1.0 - B + B * dls / avgdl_now))
+    w, ws = _topk_f32(docs, idf * tfn * factor, k)
+    drift = max(1.0, avgdl_now / r.avgdl_build) \
+        if r.avgdl_build > 0 else 1.0
+    tail = idf * float(r.tail_tfnorm) * drift * factor
+    n = len(w)
+    return pd.DataFrame({
+        "shard": np.int32(r.shard),
+        "doc_id": np.concatenate([w, [-1]]),
+        "score": np.concatenate([ws, [0.0]]),
+        "n_total": np.int64(r.n_total),
+        "tail_bound": np.float64(tail),
+        "n_blocks": np.int64(r.n_blocks),
+    }, index=range(n + 1))
+
+
+BATCH_CHAMP_KERNEL_SCHEMA = T.StructType(
+    [T.StructField("qid", T.IntegerType(), False)] + list(CHAMP_KERNEL_SCHEMA))
+
+
+def make_champion_batch_kernel(by_ft: dict, avgdl_by_field: dict):
+    """Batched champion kernel: ONE mapInPandas job serves every
+    champion-eligible single-term query in a micro-batch. by_ft maps
+    (field, term) → [(qid, idf, factor, k), ...] (two queries may hit the
+    same term); each champion row is scored once per registered query and
+    emitted tagged with that query's qid. Per-row math is _champ_row_frame
+    — identical to the single-query path, so batched results are
+    bit-equal."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                for qid, idf, factor, k in by_ft.get((r.field, r.term), ()):
+                    f = _champ_row_frame(
+                        r, idf, float(avgdl_by_field[r.field]), factor, k)
+                    f.insert(0, "qid", np.int32(qid))
+                    out.append(f)
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -797,7 +844,7 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 fastfield_dir=None, shard_span: int = 0,
                 agg_spec: dict[str, list[tuple[float, float]]] | None = None,
                 filter_spec: dict[str, tuple[float, float]] | None = None,
-                with_champs: bool = False):
+                with_champs: bool = False, raw: bool = False):
     """Build the per-shard applyInPandas function (closure is pickled).
 
     with_meta=True produces a COGROUP kernel: the right frame carries this
@@ -1023,6 +1070,10 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
         docs, scores = _topk_f32(C2, s2.astype(np.float64), k, ascending)
         return frame(docs, scores, scores, visited)
 
+    if raw:
+        # batched mode (FastTopK.search_many): the caller wraps `run` in a
+        # qid-dispatching kernel shared by the whole micro-batch
+        return run
     if with_meta:
         def kernel(key, pdf: pd.DataFrame, meta: pd.DataFrame) -> pd.DataFrame:
             return run(int(key[0]), pdf, meta)
@@ -1033,6 +1084,86 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return run(int(key[0]), pdf, None)
     return kernel
+
+
+def _merge_kernel_frame(pdf: pd.DataFrame, k: int, ascending: bool,
+                        sort_feature: str | None,
+                        agg_query: dict | None,
+                        empty_agg: dict | None) -> "KernelResult":
+    """Driver-side merge of ONE query's kernel output (≤ k+1 rows + one
+    counts row + agg partials per matched shard) — the reference's
+    merge_fruits (tique top_collector.rs:180-182). Shared by search() and
+    the batched search_many() (which splits its single job's output frame
+    by qid and merges each slice here)."""
+    if not len(pdf):
+        return KernelResult(0, 0, [], agg=empty_agg)
+    per_shard = pdf[pdf["doc_id"] == -1]
+    total = int(per_shard["shard_total"].sum())
+    visited = int(per_shard["shard_visited"].sum())
+    bt = int(per_shard["blocks_total"].sum())
+    bs = int(per_shard["blocks_scored"].sum())
+    agg_out = None
+    if agg_query:
+        apdf = pdf[pdf["doc_id"] == -2]
+        agg_out = {}
+        for f_, rs in agg_query.items():
+            stats_f = []
+            for i in range(len(rs)):
+                part = apdf[(apdf["feat"] == f_)
+                            & (apdf["range_idx"] == i)]
+                cnt = int(part["cnt"].sum()) if len(part) else 0
+                if cnt == 0:
+                    stats_f.append((0, None, None))
+                else:
+                    stats_f.append((cnt, float(part["vmin"].min()),
+                                    float(part["vmax"].max())))
+            agg_out[f_] = stats_f
+    hits_pdf = pdf[pdf["doc_id"] >= 0]
+    docs = hits_pdf["doc_id"].to_numpy(np.int64)
+    scores = hits_pdf["score"].to_numpy(np.float64)  # f32-valued
+    svals = hits_pdf["sort_val"].to_numpy(np.float64)
+    if sort_feature is not None:
+        order = np.lexsort((docs, svals if ascending else -svals))[:k]
+        sort_vals = [float(svals[i]) for i in order]
+    else:
+        key = scores.astype(np.float32)
+        order = np.lexsort((docs, key if ascending else -key))[:k]
+        sort_vals = None
+    hits = [(int(docs[i]), float(np.float32(scores[i]))) for i in order]
+    return KernelResult(total=total, visited=visited, hits=hits,
+                        blocks_total=bt, blocks_scored=bs,
+                        sort_vals=sort_vals, agg=agg_out)
+
+
+def _champ_verify(pdf: pd.DataFrame, k: int) -> "KernelResult | None":
+    """Driver-side losslessness check over a champion kernel's output for
+    ONE query: serve from champions only when the k-th f32 score strictly
+    beats every shard's non-champion tail bound (or every shard stored its
+    postings complete). None → the caller runs the full block kernel —
+    one wasted tiny job, never a wrong answer."""
+    if not len(pdf):
+        # term has postings (df > 0) but no champion rows → sidecar is
+        # stale relative to segments; the block path is authoritative
+        return None
+    summ = pdf[pdf["doc_id"] == -1]
+    tails = summ["tail_bound"].to_numpy(np.float64)
+    complete = bool((tails == 0.0).all())
+    hits_pdf = pdf[pdf["doc_id"] >= 0]
+    docs = hits_pdf["doc_id"].to_numpy(np.int64)
+    s32 = hits_pdf["score"].to_numpy(np.float64).astype(np.float32)
+    order = np.lexsort((docs, -s32))[:k]
+    if len(order) >= k:
+        theta = s32[order[k - 1]]
+        if not (complete or (tails.astype(np.float32) < theta).all()):
+            return None
+    elif not complete:
+        return None
+    total = int(summ["n_total"].sum())
+    hits = [(int(docs[i]), float(s32[i])) for i in order]
+    return KernelResult(
+        total=total, visited=total, hits=hits,
+        blocks_total=int(summ["n_blocks"].sum()), blocks_scored=0,
+        champion_served=True)
 
 
 def champ_tree_ok(node: QueryNode) -> bool:
@@ -1202,30 +1333,7 @@ class FastTopK:
                .filter((F.col("field") == field) & (F.col("term") == term))
                .mapInPandas(kern, CHAMP_KERNEL_SCHEMA))
         self.last_job = job
-        pdf = job.toPandas()
-        if not len(pdf):
-            # term has postings (df > 0) but no champion rows → sidecar is
-            # stale relative to segments; the block path is authoritative
-            return None
-        summ = pdf[pdf["doc_id"] == -1]
-        tails = summ["tail_bound"].to_numpy(np.float64)
-        complete = bool((tails == 0.0).all())
-        hits_pdf = pdf[pdf["doc_id"] >= 0]
-        docs = hits_pdf["doc_id"].to_numpy(np.int64)
-        s32 = hits_pdf["score"].to_numpy(np.float64).astype(np.float32)
-        order = np.lexsort((docs, -s32))[:k]
-        if len(order) >= k:
-            theta = s32[order[k - 1]]
-            if not (complete or (tails.astype(np.float32) < theta).all()):
-                return None
-        elif not complete:
-            return None
-        total = int(summ["n_total"].sum())
-        hits = [(int(docs[i]), float(s32[i])) for i in order]
-        return KernelResult(
-            total=total, visited=total, hits=hits,
-            blocks_total=int(summ["n_blocks"].sum()), blocks_scored=0,
-            champion_served=True)
+        return _champ_verify(job.toPandas(), k)
 
     def search(self, node: QueryNode, k: int = 10,
                after: tuple[float, int] | None = None,
@@ -1278,22 +1386,7 @@ class FastTopK:
         live = set(idfs)
         if not live:
             return KernelResult(0, 0, [], agg=empty_agg)
-        if agg_query and (self._ff_dir is None
-                          or not set(agg_query) <= self._ff_cols):
-            # ADVICE r4: a feature absent from the sidecar (schema drift,
-            # non-numeric docmeta column) must fail HERE with a clear error,
-            # not as a pyarrow missing-column error deep in an executor task
-            raise ValueError(
-                "fused aggregation needs the fast-field sidecar covering "
-                f"every agg feature (missing: "
-                f"{sorted(set(agg_query) - self._ff_cols)}); "
-                "use aggregate() on this index")
-        if range_filters is not None and (
-                self._ff_dir is None
-                or not set(range_filters) <= self._ff_cols):
-            raise ValueError("in-kernel range filters need the fast-field "
-                             "sidecar covering every filtered feature; "
-                             "pass Column preds instead")
+        self._check_sidecar_cover(agg_query, range_filters)
         # Champion fast path: single-term (or boosted single-term)
         # relevance-descending page-1 queries with no filter/sort/agg read
         # O(C) impact-ordered postings per shard instead of decoding every
@@ -1382,45 +1475,211 @@ class FastTopK:
             job = (seg.groupBy("shard")
                    .applyInPandas(kernel, KERNEL_SCHEMA))
         self.last_job = job
-        pdf = job.toPandas()
-        if not len(pdf):
-            return KernelResult(0, 0, [], agg=empty_agg)
-        per_shard = pdf[pdf["doc_id"] == -1]
-        total = int(per_shard["shard_total"].sum())
-        visited = int(per_shard["shard_visited"].sum())
-        bt = int(per_shard["blocks_total"].sum())
-        bs = int(per_shard["blocks_scored"].sum())
-        agg_out = None
-        if agg_query:
-            apdf = pdf[pdf["doc_id"] == -2]
-            agg_out = {}
-            for f_, rs in agg_query.items():
-                stats_f = []
-                for i in range(len(rs)):
-                    part = apdf[(apdf["feat"] == f_)
-                                & (apdf["range_idx"] == i)]
-                    cnt = int(part["cnt"].sum()) if len(part) else 0
-                    if cnt == 0:
-                        stats_f.append((0, None, None))
-                    else:
-                        stats_f.append((cnt, float(part["vmin"].min()),
-                                        float(part["vmax"].max())))
-                agg_out[f_] = stats_f
-        hits_pdf = pdf[pdf["doc_id"] >= 0]
-        docs = hits_pdf["doc_id"].to_numpy(np.int64)
-        scores = hits_pdf["score"].to_numpy(np.float64)  # f32-valued
-        svals = hits_pdf["sort_val"].to_numpy(np.float64)
-        if sort_feature is not None:
-            order = np.lexsort((docs, svals if ascending else -svals))[:k]
-            sort_vals = [float(svals[i]) for i in order]
-        else:
-            key = scores.astype(np.float32)
-            order = np.lexsort((docs, key if ascending else -key))[:k]
-            sort_vals = None
-        hits = [(int(docs[i]), float(np.float32(scores[i]))) for i in order]
-        return KernelResult(total=total, visited=visited, hits=hits,
-                            blocks_total=bt, blocks_scored=bs,
-                            sort_vals=sort_vals, agg=agg_out)
+        return _merge_kernel_frame(job.toPandas(), k, ascending,
+                                   sort_feature, agg_query, empty_agg)
+
+    def _check_sidecar_cover(self, agg_query, range_filters) -> None:
+        """ADVICE r4: a feature absent from the sidecar (schema drift,
+        non-numeric docmeta column) must fail HERE with a clear error, not
+        as a pyarrow missing-column error deep in an executor task."""
+        if agg_query and (self._ff_dir is None
+                          or not set(agg_query) <= self._ff_cols):
+            raise ValueError(
+                "fused aggregation needs the fast-field sidecar covering "
+                f"every agg feature (missing: "
+                f"{sorted(set(agg_query) - (self._ff_cols or set()))}); "
+                "use aggregate() on this index")
+        if range_filters is not None and (
+                self._ff_dir is None
+                or not set(range_filters) <= self._ff_cols):
+            raise ValueError("in-kernel range filters need the fast-field "
+                             "sidecar covering every filtered feature; "
+                             "pass Column preds instead")
+
+    # -------------------------------------------------------- batched search
+    def search_many(self, specs: list[dict]) -> list[KernelResult]:
+        """Answer a MICRO-BATCH of queries in at most TWO Spark jobs.
+
+        Serving-throughput rationale: on a cluster, every kernel job pays a
+        fixed scheduler + Python-worker round-trip (~100-200 ms here) that
+        dwarfs the per-shard work for page-1 queries. Concurrent clients
+        therefore saturate the DRIVER's job pipeline long before the
+        executors are busy. Batching N queries into one job amortizes that
+        fixed cost N-fold — the standard serving move for any
+        scheduler-bound engine (httpserve.QueryBatcher feeds this from
+        concurrent HTTP requests; the reference has no analog because an
+        in-process tantivy searcher has no per-query scheduling floor).
+
+        Each spec is a dict of search() kwargs (node required). Two shapes
+        fall back to one solo search() call for that spec: docmeta-cogroup
+        queries (preds, or a field sort on a pre-sidecar index) — absent in
+        serving, where the sidecar always exists.
+
+        Job 1 serves every champion-eligible single-term query from the
+        champion sidecar (make_champion_batch_kernel, rows dispatched per
+        (field, term) → qids); the per-query lossless bound check is the
+        SAME _champ_verify as the single path, and failures drop into job 2.
+        Job 2 unions each remaining query's term-pruned segment scan tagged
+        with a qid literal and runs ONE applyInPandas over group key
+        (qid, shard); each group dispatches to that query's unmodified
+        single-query kernel closure (make_kernel raw=True), so per-query
+        results are BIT-EQUAL to search() (differential-tested,
+        tests/test_batch.py). Two queries sharing a term re-read that
+        term's blocks once per query — the scan is memory-resident in
+        serving (pin_tables), so the duplicate read costs far less than a
+        second scheduler round-trip.
+
+        Column-pruning note: positions blobs survive the union only for
+        phrase queries — non-phrase branches either drop the column (when
+        the whole batch is phrase-free) or replace it with a NULL literal
+        (schema-aligned, never read from parquet)."""
+        out: list[KernelResult | None] = [None] * len(specs)
+        champ_direct: dict[int, tuple] = {}  # qid → (field, term, idf, fac, k)
+        block: dict[int, dict] = {}          # qid → prepared context
+        stats = self.reader.stats
+
+        for i, sp in enumerate(specs):
+            node = sp["node"]
+            k = int(sp.get("k", 10))
+            after = sp.get("after")
+            ascending = bool(sp.get("ascending", False))
+            sort_feature = sp.get("sort_feature")
+            agg_query = sp.get("agg_query")
+            range_filters = sp.get("range_filters")
+            use_champions = bool(sp.get("use_champions", True))
+            if sp.get("preds") or (sort_feature is not None
+                                   and (self._ff_dir is None
+                                        or sort_feature not in self._ff_cols)):
+                out[i] = self.search(**sp)
+                continue
+            terms: set[tuple[str, str]] = set()
+            collect_terms(node, terms)
+            empty_agg = ({f: [(0, None, None)] * len(r)
+                          for f, r in agg_query.items()}
+                         if agg_query else None)
+            if not terms:
+                out[i] = KernelResult(0, 0, [], agg=empty_agg)
+                continue
+            dfs = self.executor.term_dfs(terms)
+            idfs = {ft: idf_fn(dfs[ft], stats[ft[0]]["n_docs"])
+                    for ft in terms if dfs[ft] > 0}
+            if not idfs:
+                out[i] = KernelResult(0, 0, [], agg=empty_agg)
+                continue
+            self._check_sidecar_cover(agg_query, range_filters)
+            ctx = dict(node=node, k=k, after=after, ascending=ascending,
+                       sort_feature=sort_feature, agg_query=agg_query,
+                       range_filters=range_filters,
+                       seed_min=int(sp.get("seed_min", SEED_MIN)),
+                       idfs=idfs, live=set(idfs), empty_agg=empty_agg,
+                       use_champions=use_champions)
+            block[i] = ctx
+            if (use_champions and self._champ is not None and after is None
+                    and not ascending and sort_feature is None
+                    and not agg_query and not range_filters):
+                base, fac = node, 1.0
+                if isinstance(base, Boost) and base.factor > 0:
+                    base, fac = base.child, float(base.factor)
+                if isinstance(base, Term) and (base.field, base.text) in idfs:
+                    champ_direct[i] = (
+                        base.field, base.text,
+                        idfs[(base.field, base.text)], fac, k)
+
+        # job 1: every champion-eligible single-term query in one pass
+        if champ_direct:
+            by_ft: dict[tuple, list] = {}
+            for i, (f_, t_, idf, fac, k) in champ_direct.items():
+                by_ft.setdefault((f_, t_), []).append((i, idf, fac, k))
+            kern = make_champion_batch_kernel(by_ft, self.avgdl_by_field)
+            pdf = (self._champ.filter(self._term_cond(set(by_ft)))
+                   .mapInPandas(kern, BATCH_CHAMP_KERNEL_SCHEMA)
+                   .toPandas())
+            for i, (_f, _t, _idf, _fac, k) in champ_direct.items():
+                res = _champ_verify(pdf[pdf["qid"] == i], k)
+                if res is not None:      # else: lossless fallback to job 2
+                    out[i] = res
+                    del block[i]
+
+        # job 2: one (qid, shard)-grouped kernel job for everything else
+        if block:
+            runs: dict[int, object] = {}
+            champ_qids: set[int] = set()
+            seg_branches: list[DataFrame] = []
+            ch_branches: list[DataFrame] = []
+            has_phrase_any = any(tree_has_phrase(c["node"])
+                                 for c in block.values())
+            for i, c in block.items():
+                use_champs = (c["use_champions"] and self._champ is not None
+                              and c["after"] is None and not c["ascending"]
+                              and c["sort_feature"] is None
+                              and champ_tree_ok(c["node"]))
+                need_sidecar = (c["sort_feature"] is not None
+                                or bool(c["agg_query"])
+                                or bool(c["range_filters"]))
+                runs[i] = make_kernel(
+                    c["node"], c["idfs"], self.avgdl_by_field, c["k"],
+                    c["after"], c["ascending"], seed_min=c["seed_min"],
+                    with_meta=False, sort_field=c["sort_feature"],
+                    fastfield_dir=self._ff_dir if need_sidecar else None,
+                    shard_span=self._span,
+                    agg_spec={f: [(float(lo), float(hi)) for lo, hi in r]
+                              for f, r in c["agg_query"].items()}
+                    if c["agg_query"] else None,
+                    filter_spec={f: (float(lo), float(hi))
+                                 for f, (lo, hi) in c["range_filters"].items()}
+                    if c["range_filters"] else None,
+                    with_champs=use_champs, raw=True)
+                if use_champs:
+                    champ_qids.add(i)
+                    ch_branches.append(
+                        self._champ.filter(self._term_cond(c["live"]))
+                        .withColumn("qid", F.lit(i).cast("int")))
+                br = (self._segments_for(c["live"])
+                      .withColumn("qid", F.lit(i).cast("int")))
+                if not has_phrase_any:
+                    br = br.drop("positions")
+                elif not tree_has_phrase(c["node"]):
+                    br = br.withColumn("positions",
+                                       F.lit(None).cast("binary"))
+                seg_branches.append(br)
+            seg = seg_branches[0]
+            for b in seg_branches[1:]:
+                seg = seg.unionByName(b)
+
+            def _dispatch(key, pdf, ch):
+                qid, shard = int(key[0]), int(key[1])
+                champs = (ch if ch is not None and len(ch)
+                          and qid in champ_qids else None)
+                res = runs[qid](shard, pdf, None, champs=champs)
+                res.insert(0, "qid",
+                           np.full(len(res), qid, dtype=np.int32))
+                return res
+
+            # two wrappers: Spark validates grouped-map (2-arg) vs
+            # cogrouped-map (3-arg) UDF signatures strictly
+            def batch_kernel(key, pdf):
+                return _dispatch(key, pdf, None)
+
+            def batch_kernel_cg(key, pdf, ch):
+                return _dispatch(key, pdf, ch)
+
+            if ch_branches:
+                chdf = ch_branches[0]
+                for b in ch_branches[1:]:
+                    chdf = chdf.unionByName(b)
+                job = (seg.groupBy("qid", "shard")
+                       .cogroup(chdf.groupBy("qid", "shard"))
+                       .applyInPandas(batch_kernel_cg, BATCH_KERNEL_SCHEMA))
+            else:
+                job = (seg.groupBy("qid", "shard")
+                       .applyInPandas(batch_kernel, BATCH_KERNEL_SCHEMA))
+            self.last_job = job
+            pdf = job.toPandas()
+            for i, c in block.items():
+                out[i] = _merge_kernel_frame(
+                    pdf[pdf["qid"] == i], c["k"], c["ascending"],
+                    c["sort_feature"], c["agg_query"], c["empty_agg"])
+        return out
 
     # ----------------------------------------------------------- aggregation
     def aggregate(self, node: QueryNode,

@@ -33,9 +33,125 @@ import threading
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from cantine_spark.api import BadRequest, SearchResult
+from cantine_spark.api import BadRequest, SearchQuery, SearchResult
 
 MAX_BODY_BYTES = 4096  # the reference's request cap (main.rs:253)
+
+
+class _Pending:
+    __slots__ = ("query", "event", "result", "error")
+
+    def __init__(self, query: dict):
+        self.query = query
+        self.event = threading.Event()
+        self.result: SearchResult | None = None
+        self.error: Exception | None = None
+
+
+@dataclass
+class QueryBatcher:
+    """Micro-batch concurrent /search requests into engine.search_batch.
+
+    Every kernel query is a driver-scheduled Spark job with a fixed
+    ~100-200 ms floor, so under concurrent clients the DRIVER's job
+    pipeline saturates long before the executors do (bench.py: FAIR lifted
+    8-thread QPS to ~7; the floor still binds). Batching is the standard
+    next lever: requests arriving within a small window ride ONE kernel
+    job + ONE hydration scan (api.SearchEngine.search_batch), amortizing
+    the floor N-fold while leaving single-client latency almost untouched
+    (the window only opens after a first request is already in hand, so a
+    lone client pays ≤ window_ms extra on a ~400 ms query).
+
+    Error isolation: each request is parsed individually — a BadRequest
+    fails only its own request, never the batch. The engine is resolved
+    from the backend once per dispatch, so a blue/green refresh swap is
+    picked up at the next batch exactly as the unbatched path picks it up
+    at the next request."""
+    backend: object                  # .engine → api.SearchEngine
+    max_batch: int = 16
+    window_ms: float = 5.0
+
+    def __post_init__(self):
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._pending: list[_Pending] = []
+        self._stopped = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    def search(self, query: dict) -> SearchResult:
+        p = _Pending(query)
+        with self._cond:
+            if self._stopped:
+                raise RuntimeError("batcher stopped")
+            self._pending.append(p)
+            self._cond.notify()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def stop(self) -> None:
+        with self._cond:
+            self._stopped = True
+            self._cond.notify()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------- internals
+    def _dispatch_loop(self) -> None:
+        import time
+        while True:
+            with self._cond:
+                while not self._pending and not self._stopped:
+                    self._cond.wait()
+                if self._stopped and not self._pending:
+                    return
+            # a first request is in hand — hold the door briefly for
+            # concurrent arrivals, close early at max_batch
+            deadline = time.time() + self.window_ms / 1000.0
+            while time.time() < deadline:
+                with self._lock:
+                    if len(self._pending) >= self.max_batch:
+                        break
+                time.sleep(0.001)
+            with self._lock:
+                batch = self._pending[: self.max_batch]
+                del self._pending[: self.max_batch]
+            if batch:
+                self._run_batch(batch)
+
+    def _run_batch(self, batch: list[_Pending]) -> None:
+        try:
+            engine = getattr(self.backend, "engine", self.backend)
+        except Exception as e:  # noqa: BLE001 — e.g. "no generations yet"
+            for p in batch:
+                p.error = e
+                p.event.set()
+            return
+        valid: list[tuple[_Pending, SearchQuery]] = []
+        for p in batch:
+            try:
+                valid.append((p, SearchQuery.from_dict(
+                    p.query, features=engine.features)))
+            except BadRequest as e:
+                p.error = e
+                p.event.set()
+        if not valid:
+            return
+        try:
+            if len(valid) == 1:  # no batching overhead for a lone request
+                results = [engine.search(valid[0][1])]
+            else:
+                results = engine.search_batch([q for _, q in valid])
+        except Exception as e:  # noqa: BLE001
+            for p, _ in valid:
+                p.error = e
+                p.event.set()
+            return
+        for (p, _), r in zip(valid, results):
+            p.result = r
+            p.event.set()
 
 
 def result_to_dict(res: SearchResult) -> dict:
@@ -56,9 +172,17 @@ class SearchHTTPServer:
     host: str = "127.0.0.1"
     port: int = 0                      # 0 → ephemeral (tests)
     poll_seconds: float = 5.0          # refresh poll cadence; 0 → no thread
+    # micro-batching (QueryBatcher): concurrent requests arriving within
+    # the window share one kernel job. 0 → per-request dispatch (legacy)
+    batch_window_ms: float = 5.0
+    batch_max: int = 16
 
     def __post_init__(self):
         backend = self.server
+        self._batcher = (QueryBatcher(backend, max_batch=self.batch_max,
+                                      window_ms=self.batch_window_ms)
+                         if self.batch_window_ms > 0 else None)
+        batcher = self._batcher
 
         class Handler(BaseHTTPRequestHandler):
             # one engine lookup per request → a refresh swap between
@@ -104,7 +228,8 @@ class SearchHTTPServer:
                 except json.JSONDecodeError as e:
                     return self._json(400, {"error": f"bad JSON: {e}"})
                 try:
-                    res = backend.search(query)
+                    res = (batcher.search(query) if batcher is not None
+                           else backend.search(query))
                 except BadRequest as e:
                     return self._json(400, {"error": str(e)})
                 except RuntimeError as e:  # no generations yet
@@ -143,6 +268,8 @@ class SearchHTTPServer:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._batcher is not None:
+            self._batcher.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
 

@@ -1184,6 +1184,126 @@ ORDER BY query_id, rank
 
 
 # ======================================================================
+# Tiered multi-generation read (r5): the serving path between compactions.
+# Three contiguous doc_id slices of the documents table are built as three
+# COMPLETE generation indexes (the streaming watermark shape,
+# streaming/incremental.commit_batch); the engine reads them through
+# TieredIndexReader — unioned tables, integer-summed global stats,
+# per-tier block-max rescale — with NO full compaction. The oracle is the
+# plain single-index SQL over the WHOLE corpus: multi-tier read must be
+# semantically invisible (same idf/avgdl, same scores, same tie-breaks).
+# ======================================================================
+
+_TIERED_CACHE: dict = {}
+
+
+def _tiered_engine(spark, sf_dir):
+    import os as _os
+
+    from cantine_spark.api import SearchEngine
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.build.segments import build_segments
+    from cantine_spark.tiered import TieredIndexReader
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key in _TIERED_CACHE:
+        return _TIERED_CACHE[key]
+    # reuse _engine's cache-root resolution by building beside it
+    root = _os.environ.get(
+        "CANTINE_IDX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".idx_cache"))
+    try:
+        _os.makedirs(root, exist_ok=True)
+        probe = _os.path.join(root, ".w")
+        with open(probe, "w") as fh:
+            fh.write("")
+        _os.remove(probe)
+    except OSError:
+        import tempfile as _tf
+        root = _os.path.join(_tf.gettempdir(), "cantine_idx_cache")
+        _os.makedirs(root, exist_ok=True)
+    base = _os.path.join(
+        root, "tiered_" + key[1].strip("/").replace("/", "_"))
+    corpus = (spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("testdata").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("txt")).alias("lang"),
+        F.coalesce(F.col("text"), F.lit("")).alias("content")))
+    n = corpus.count()
+    cuts = sorted({0, n // 3, (2 * n) // 3, n})
+    tier_dirs = []
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        td = _os.path.join(base, f"tier_{i}")
+        sl = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        build_index(spark, sl, td)
+        # one pinned span across tiers (TieredIndexReader requires it; the
+        # serving layer pins one per root, serve.IndexServer)
+        build_segments(spark, td, shard_span=1024)
+        tier_dirs.append(td)
+    eng = SearchEngine(TieredIndexReader(spark, tier_dirs))
+    _TIERED_CACHE[key] = eng
+    return eng
+
+
+def tiered_search(spark, sf_dir, terms=("hash", "stream"), k=15) -> DataFrame:
+    """Multi-OR BM25 answered across THREE un-compacted generation tiers;
+    doc ids are the original documents.doc_id (contiguous slices), so the
+    oracle — the whole-corpus single-index SQL — must match scores AND
+    tie-breaks exactly."""
+    res = _tiered_engine(spark, sf_dir).search(
+        {"fulltext": " ".join(terms), "num_items": k})
+    return _items_df(spark, res.items)
+
+
+def tiered_search_sql(terms=("hash", "stream"), k=15) -> str:
+    return bm25_multi_or_sql(terms=terms, k=k)
+
+
+# ======================================================================
+# Batched query execution (r5): three queries answered by ONE
+# SearchEngine.search_batch call — one (qid, shard)-grouped kernel job +
+# one shared hydration scan (execution/wand.search_many). The oracle is
+# the UNION of the three per-query oracles tagged by qid: batching must be
+# semantically invisible per query.
+# ======================================================================
+
+def batched_search(spark, sf_dir) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    batch = [
+        {"fulltext": "spark", "num_items": 10},
+        {"fulltext": "query join", "num_items": 10},
+        {"fulltext": "+table +scan -error", "num_items": 10},
+    ]
+    results = eng.search_batch(batch)
+    rows = []
+    for qid, res in enumerate(results):
+        for it in res.items:
+            rows.append((qid, int(it["doc_id"]), float(it["score"])))
+    if not rows:
+        return spark.createDataFrame([], "qid int, doc_id long, score double")
+    df = spark.createDataFrame(rows, "qid int, doc_id long, score float")
+    return (df.select("qid", "doc_id",
+                      F.round(F.col("score").cast("double"), 5)
+                      .alias("score"))
+            .orderBy("qid", "doc_id"))
+
+
+def batched_search_sql() -> str:
+    subs = [
+        bm25_single_term_sql(term="spark", k=10),
+        bm25_multi_or_sql(terms=("query", "join"), k=10),
+        bm25_must_mustnot_sql(must=("table", "scan"), must_not="error",
+                              k=10),
+    ]
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {i} AS qid, doc_id, score FROM (\n{s}\n)"
+        for i, s in enumerate(subs))
+    return f"SELECT * FROM (\n{branches}\n) ORDER BY qid, doc_id"
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1216,4 +1336,7 @@ QUERIES = {
     # formerly rows-only; now oracle-checked (r1 VERDICT items 4 & 7)
     "simhash_pairs": (simhash_pairs, simhash_pairs_sql()),
     "ivf_ann": (ivf_ann, ivf_ann_sql()),
+    # r5 serving-path features, oracle-checked
+    "tiered_search": (tiered_search, tiered_search_sql()),  # §2.9 tiers
+    "batched_search": (batched_search, batched_search_sql()),  # batch exec
 }

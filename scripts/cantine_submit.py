@@ -109,7 +109,9 @@ def cmd_serve(args) -> int:
         import time
         from cantine_spark.httpserve import SearchHTTPServer
         with SearchHTTPServer(server, port=args.port,
-                              poll_seconds=args.poll) as http:
+                              poll_seconds=args.poll,
+                              batch_window_ms=args.batch_window_ms,
+                              batch_max=args.batch_max) as http:
             print(json.dumps({"listening": http.url}), flush=True)
             polls = 0
             while args.max_polls is None or polls < args.max_polls:
@@ -151,6 +153,12 @@ def main(argv=None) -> int:
     v.add_argument("--max-polls", type=int, default=None,
                    help="bound the loop (smoke tests); default: forever")
     v.add_argument("--agg-threshold", type=int, default=None)
+    v.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="micro-batch concurrent requests arriving within "
+                        "this window into one kernel job (0 = per-request "
+                        "dispatch)")
+    v.add_argument("--batch-max", type=int, default=16,
+                   help="max requests per micro-batch")
     v.set_defaults(fn=cmd_serve)
     args = p.parse_args(argv)
     return args.fn(args)

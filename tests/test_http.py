@@ -115,6 +115,69 @@ def test_concurrent_clients(http_env):
     assert len({r for r in results}) == 1  # identical answers, all 200
 
 
+def test_microbatching_coalesces_and_isolates_errors(http_env, monkeypatch):
+    """Concurrent requests inside the batch window must share ONE
+    engine.search_batch call (the serving-throughput point of
+    QueryBatcher), and a bad request in the same window must fail alone
+    with 400 while its batchmates answer 200."""
+    import threading
+
+    from cantine_spark.api import SearchEngine
+    http, *_ = http_env
+    batch_sizes: list[int] = []
+    orig = SearchEngine.search_batch
+
+    def counting(self, qs):
+        batch_sizes.append(len(qs))
+        return orig(self, qs)
+
+    monkeypatch.setattr(SearchEngine, "search_batch", counting)
+    http._batcher.window_ms = 300  # hold the door for the test's threads
+    try:
+        oks, bad_codes, errors = [], [], []
+
+        def good():
+            try:
+                code, body = _post(http.url, {"fulltext": "def",
+                                              "num_items": 3})
+                oks.append((code, body["total_found"],
+                            tuple(i["doc_id"] for i in body["items"])))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+        def bad():
+            try:
+                _post(http.url, {"bogus_field": 1})
+                errors.append("bad request did not fail")
+            except urllib.error.HTTPError as e:
+                bad_codes.append(e.code)
+
+        threads = ([threading.Thread(target=good) for _ in range(5)]
+                   + [threading.Thread(target=bad)])
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert bad_codes == [400]
+        assert len(oks) == 5 and len(set(oks)) == 1  # identical answers
+        assert batch_sizes and max(batch_sizes) >= 2  # actually coalesced
+    finally:
+        http._batcher.window_ms = 5
+
+
+def test_batching_disabled_still_serves(http_env):
+    """batch_window_ms=0 keeps the legacy per-request dispatch path."""
+    http, *_ = http_env
+    legacy = SearchHTTPServer(http.server, port=0, poll_seconds=0,
+                              batch_window_ms=0).start()
+    try:
+        code, body = _post(legacy.url, {"fulltext": "def", "num_items": 3})
+        assert code == 200 and len(body["items"]) == 3
+    finally:
+        legacy.stop()
+
+
 def test_same_port_sees_new_generation(http_env):
     """The r5 'done' criterion: HTTP query → generation lands → the SAME
     port serves the new docs (the poll thread refreshes mid-traffic)."""
