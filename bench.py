@@ -80,6 +80,64 @@ BENCH_QUERIES = [
 ]
 
 
+def _qps_through_http(engine, batch_window_ms: float,
+                      n_threads: int | None = None,
+                      n_total: int | None = None) -> dict:
+    """Drive T client threads through a SearchHTTPServer wrapping `engine`
+    and return wall/qps/errors. Shared by the headline QPS measurement and
+    the serving-side scaling legs."""
+    import queue as _q
+    import threading
+    import types
+    import urllib.request
+
+    from cantine_spark.httpserve import SearchHTTPServer
+    n_threads = n_threads or int(
+        os.environ.get("SPARK_GRAFT_QPS_THREADS", "8"))
+    n_total = n_total or int(
+        os.environ.get("SPARK_GRAFT_QPS_QUERIES", "120"))
+    backend = types.SimpleNamespace(engine=engine, search=engine.search)
+    work: _q.Queue = _q.Queue()
+    for j in range(n_total):
+        work.put(BENCH_QUERIES[j % len(BENCH_QUERIES)][1])
+    errors: list = []
+    with SearchHTTPServer(backend, poll_seconds=0,
+                          batch_window_ms=batch_window_ms) as http:
+        url = http.url + "/search"
+
+        def drain():
+            while True:
+                try:
+                    q = work.get_nowait()
+                except _q.Empty:
+                    return
+                try:
+                    req = urllib.request.Request(
+                        url, data=json.dumps(q).encode(),
+                        headers={"Content-Type": "application/json"})
+                    with urllib.request.urlopen(req, timeout=300) as r:
+                        if r.status != 200:
+                            errors.append(f"http {r.status}")
+                        else:
+                            json.load(r)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(repr(e))
+
+        wait_for_quiet()
+        t0 = time.time()
+        threads = [threading.Thread(target=drain)
+                   for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+    return {"threads": n_threads, "queries": n_total,
+            "wall_s": round(wall, 2), "qps": round(n_total / wall, 1),
+            "via": "http", "errors": len(errors),
+            "batch_window_ms": batch_window_ms}
+
+
 def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
                           builds: int = BUILDS):
     """Two PHASES in two Spark applications, mirroring a real deployment:
@@ -191,64 +249,39 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
             # micro-batching (requests arriving within a ~5 ms window share
             # ONE kernel Spark job + ONE hydration scan, amortizing the
             # fixed per-job scheduler floor that caps unbatched QPS).
-            import queue as _q
-            import threading
-            import types
-            import urllib.request
+            out["qps_unbatched"] = _qps_through_http(engine, 0)
+            out["qps"] = _qps_through_http(engine, 5.0)  # serving default
 
-            from cantine_spark.httpserve import SearchHTTPServer
-            n_threads = int(os.environ.get("SPARK_GRAFT_QPS_THREADS", "8"))
-            n_total = int(os.environ.get("SPARK_GRAFT_QPS_QUERIES", "120"))
-            backend = types.SimpleNamespace(engine=engine,
-                                            search=engine.search)
-
-            def run_qps(batch_window_ms: float) -> dict:
-                work: _q.Queue = _q.Queue()
-                for j in range(n_total):
-                    work.put(BENCH_QUERIES[j % len(BENCH_QUERIES)][1])
-                errors: list = []
-                with SearchHTTPServer(
-                        backend, poll_seconds=0,
-                        batch_window_ms=batch_window_ms) as http:
-                    url = http.url + "/search"
-
-                    def drain():
-                        while True:
-                            try:
-                                q = work.get_nowait()
-                            except _q.Empty:
-                                return
-                            try:
-                                req = urllib.request.Request(
-                                    url, data=json.dumps(q).encode(),
-                                    headers={
-                                        "Content-Type": "application/json"})
-                                with urllib.request.urlopen(
-                                        req, timeout=300) as r:
-                                    if r.status != 200:
-                                        errors.append(f"http {r.status}")
-                                    else:
-                                        json.load(r)
-                            except Exception as e:  # noqa: BLE001
-                                errors.append(repr(e))
-
-                    wait_for_quiet()
-                    t0 = time.time()
-                    threads = [threading.Thread(target=drain)
-                               for _ in range(n_threads)]
-                    for t in threads:
-                        t.start()
-                    for t in threads:
-                        t.join()
-                    wall = time.time() - t0
-                return {"threads": n_threads, "queries": n_total,
-                        "wall_s": round(wall, 2),
-                        "qps": round(n_total / wall, 1),
-                        "via": "http", "errors": len(errors),
-                        "batch_window_ms": batch_window_ms}
-
-            out["qps_unbatched"] = run_qps(0)
-            out["qps"] = run_qps(5.0)  # micro-batched — the serving default
+        if os.environ.get("SPARK_GRAFT_QPS_SCALING") == "1":
+            # serving-side two-parallelism evidence (north rule): the same
+            # index served at local[N/4] vs local[N], micro-batched HTTP
+            # QPS at each width. Serving is many tiny kernel jobs whose
+            # per-job core demand is small, so unlike the build (bandwidth-
+            # bound wide stages) QPS is expected to hold up at the narrow
+            # width — which is itself the scale-relevant fact: query cost
+            # is O(matched blocks), not O(cores).
+            spark.stop()
+            small = max(2, cores // 4)
+            legs = {}
+            for c in (small, cores):
+                spark = get_spark(
+                    f"bench-qps-{c}", cores=c, shuffle_partitions=c,
+                    extra_conf={"spark.python.worker.reuse": "true",
+                                "spark.scheduler.mode": "FAIR"})
+                eng = SearchEngine(IndexReader(spark, idx_dirs[-1]),
+                                   pin_tables=True)
+                for name, q in BENCH_QUERIES:
+                    eng.search(dict(q))
+                legs[c] = _qps_through_http(eng, 5.0)
+                if c != cores:
+                    spark.stop()
+            out["qps_scaling"] = {
+                "cores_n": small, "cores_4n": cores,
+                "qps_n": legs[small]["qps"], "qps_4n": legs[cores]["qps"],
+                "efficiency": round(
+                    (legs[cores]["qps"] / legs[small]["qps"])
+                    / (cores / small), 3),
+                "legs": legs}
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -325,6 +358,8 @@ def main() -> None:
         **({"qps": result["qps"]} if "qps" in result else {}),
         **({"qps_unbatched": result["qps_unbatched"]}
            if "qps_unbatched" in result else {}),
+        **({"qps_scaling": result["qps_scaling"]}
+           if "qps_scaling" in result else {}),
         **({"scaling": result["scaling"]} if "scaling" in result else {}),
     }))
 
