@@ -66,16 +66,30 @@ class QueryBatcher:
     fails only its own request, never the batch. The engine is resolved
     from the backend once per dispatch, so a blue/green refresh swap is
     picked up at the next batch exactly as the unbatched path picks it up
-    at the next request."""
+    at the next request.
+
+    Overlap: batches dispatch on a pool of `max_concurrent` threads, so up
+    to that many batch jobs run concurrently under FAIR scheduling —
+    batching amortizes the per-job floor WITHIN a job while FAIR still
+    overlaps jobs (measured: 4 concurrent batches of 8 reach ~64 ms/query
+    vs ~166 ms/query for serialized batches of 8 — bench.py QPS). When all
+    slots are busy the collector keeps coalescing arrivals into the waiting
+    batch, so batch depth grows exactly when the engine is saturated and
+    stays ~1 under light load (= plain FAIR per-request dispatch)."""
     backend: object                  # .engine → api.SearchEngine
     max_batch: int = 16
     window_ms: float = 5.0
+    max_concurrent: int = 4
 
     def __post_init__(self):
+        from concurrent.futures import ThreadPoolExecutor
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._pending: list[_Pending] = []
         self._stopped = False
+        self._slots = threading.Semaphore(self.max_concurrent)
+        self._pool = ThreadPoolExecutor(max_workers=self.max_concurrent,
+                                        thread_name_prefix="batch-dispatch")
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -97,6 +111,7 @@ class QueryBatcher:
             self._stopped = True
             self._cond.notify()
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     # ------------------------------------------------------------- internals
     def _dispatch_loop(self) -> None:
@@ -118,8 +133,30 @@ class QueryBatcher:
             with self._lock:
                 batch = self._pending[: self.max_batch]
                 del self._pending[: self.max_batch]
-            if batch:
-                self._run_batch(batch)
+            if not batch:
+                continue
+            # wait for a dispatch slot; while waiting, keep coalescing new
+            # arrivals into this batch (adaptive depth under saturation)
+            acquired = self._slots.acquire(timeout=0.002)
+            while not acquired:
+                with self._cond:
+                    if self._stopped:
+                        break
+                    take = self.max_batch - len(batch)
+                    if take > 0 and self._pending:
+                        batch.extend(self._pending[:take])
+                        del self._pending[:take]
+                acquired = self._slots.acquire(timeout=0.002)
+            if acquired:
+                self._pool.submit(self._run_batch_slot, batch)
+            else:
+                self._run_batch(batch)  # stopping: answer inline
+
+    def _run_batch_slot(self, batch: list[_Pending]) -> None:
+        try:
+            self._run_batch(batch)
+        finally:
+            self._slots.release()
 
     def _run_batch(self, batch: list[_Pending]) -> None:
         try:

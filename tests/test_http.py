@@ -166,6 +166,51 @@ def test_microbatching_coalesces_and_isolates_errors(http_env, monkeypatch):
         http._batcher.window_ms = 5
 
 
+def test_batches_overlap_up_to_max_concurrent():
+    """Batches dispatch on a pool: with slots free, two windows' batches
+    must run CONCURRENTLY (FAIR overlaps the jobs); serialized dispatch
+    was measured 2× slower than unbatched at 8 clients (BENCH.md r5)."""
+    import threading
+    import types
+
+    from cantine_spark.httpserve import QueryBatcher
+
+    active, seen_overlap = [], []
+    lock = threading.Lock()
+    gate = threading.Event()
+
+    class FakeEngine:
+        features = {}
+
+        def search(self, q):
+            return self.search_batch([q])[0]
+
+        def search_batch(self, qs):
+            with lock:
+                active.append(1)
+                if len(active) >= 2:
+                    seen_overlap.append(True)
+                    gate.set()
+            gate.wait(timeout=5)  # hold until a second batch is in flight
+            with lock:
+                active.pop()
+            return [types.SimpleNamespace(items=[], total_found=0,
+                                          next=None, agg=None)] * len(qs)
+
+    b = QueryBatcher(types.SimpleNamespace(engine=FakeEngine()),
+                     window_ms=1, max_batch=2, max_concurrent=2)
+    try:
+        th = [threading.Thread(
+            target=lambda: b.search({"fulltext": "x"})) for _ in range(4)]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        assert seen_overlap, "batches never overlapped"
+    finally:
+        b.stop()
+
+
 def test_batching_disabled_still_serves(http_env):
     """batch_window_ms=0 keeps the legacy per-request dispatch path."""
     http, *_ = http_env
