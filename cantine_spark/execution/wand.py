@@ -1519,20 +1519,20 @@ class FastTopK:
         champion sidecar (make_champion_batch_kernel, rows dispatched per
         (field, term) → qids); the per-query lossless bound check is the
         SAME _champ_verify as the single path, and failures drop into job 2.
-        Job 2 unions each remaining query's term-pruned segment scan tagged
-        with a qid literal and runs ONE applyInPandas over group key
-        (qid, shard); each group dispatches to that query's unmodified
-        single-query kernel closure (make_kernel raw=True), so per-query
-        results are BIT-EQUAL to search() (differential-tested,
-        tests/test_batch.py). Two queries sharing a term re-read that
-        term's blocks once per query — the scan is memory-resident in
-        serving (pin_tables), so the duplicate read costs far less than a
-        second scheduler round-trip.
+        Job 2 is ONE segment scan filtered to the UNION of every remaining
+        query's terms, grouped by shard; inside each task the rows are
+        sliced per query by (field, term) membership and dispatched to that
+        query's unmodified single-query kernel closure (make_kernel
+        raw=True), so per-query results are BIT-EQUAL to search()
+        (differential-tested, tests/test_batch.py). One scan regardless of
+        batch depth keeps Catalyst planning O(1) in batch size (a per-query
+        union branch made plan construction ~35% of batch wall time), and
+        a hot term shared by several queries ships its blocks through the
+        shuffle ONCE — the common case for serving workloads.
 
-        Column-pruning note: positions blobs survive the union only for
-        phrase queries — non-phrase branches either drop the column (when
-        the whole batch is phrase-free) or replace it with a NULL literal
-        (schema-aligned, never read from parquet)."""
+        Column-pruning note: positions blobs are dropped when the whole
+        batch is phrase-free, and NULLed (never read from parquet) for
+        terms no phrase-bearing query needs."""
         out: list[KernelResult | None] = [None] * len(specs)
         champ_direct: dict[int, tuple] = {}  # qid → (field, term, idf, fac, k)
         block: dict[int, dict] = {}          # qid → prepared context
@@ -1600,14 +1600,15 @@ class FastTopK:
                     out[i] = res
                     del block[i]
 
-        # job 2: one (qid, shard)-grouped kernel job for everything else
+        # job 2: ONE shard-grouped kernel job over the union of all
+        # remaining queries' terms; per-qid dispatch happens IN the task
         if block:
             runs: dict[int, object] = {}
             champ_qids: set[int] = set()
-            seg_branches: list[DataFrame] = []
-            ch_branches: list[DataFrame] = []
-            has_phrase_any = any(tree_has_phrase(c["node"])
-                                 for c in block.values())
+            live_keys: dict[int, frozenset] = {}   # qid → {"field\0term"}
+            all_terms: set[tuple[str, str]] = set()
+            champ_terms: set[tuple[str, str]] = set()
+            pos_terms: set[tuple[str, str]] = set()
             for i, c in block.items():
                 use_champs = (c["use_champions"] and self._champ is not None
                               and c["after"] is None and not c["ascending"]
@@ -1629,31 +1630,57 @@ class FastTopK:
                                  for f, (lo, hi) in c["range_filters"].items()}
                     if c["range_filters"] else None,
                     with_champs=use_champs, raw=True)
+                all_terms |= c["live"]
+                live_keys[i] = frozenset(c["live"])
                 if use_champs:
                     champ_qids.add(i)
-                    ch_branches.append(
-                        self._champ.filter(self._term_cond(c["live"]))
-                        .withColumn("qid", F.lit(i).cast("int")))
-                br = (self._segments_for(c["live"])
-                      .withColumn("qid", F.lit(i).cast("int")))
-                if not has_phrase_any:
-                    br = br.drop("positions")
-                elif not tree_has_phrase(c["node"]):
-                    br = br.withColumn("positions",
-                                       F.lit(None).cast("binary"))
-                seg_branches.append(br)
-            seg = seg_branches[0]
-            for b in seg_branches[1:]:
-                seg = seg.unionByName(b)
+                    champ_terms |= c["live"]
+                if tree_has_phrase(c["node"]):
+                    pos_terms |= c["live"]
+            seg = self._segments_for(all_terms)
+            if not pos_terms:
+                seg = seg.drop("positions")
+            elif pos_terms != all_terms:
+                # NULL (schema-aligned, never read from parquet) for terms
+                # no phrase-bearing query needs — same pruning as the
+                # single-query path, at term granularity
+                seg = seg.withColumn(
+                    "positions",
+                    F.when(self._term_cond(pos_terms),
+                           F.col("positions")).otherwise(
+                               F.lit(None).cast("binary")))
+
+            def _keys(pdf):
+                # exact (field, term) membership — NB a joined-string key
+                # is unsafe (pandas str.cat silently drops NUL separators,
+                # and terms may contain any printable byte)
+                return pd.MultiIndex.from_arrays([pdf["field"], pdf["term"]])
 
             def _dispatch(key, pdf, ch):
-                qid, shard = int(key[0]), int(key[1])
-                champs = (ch if ch is not None and len(ch)
-                          and qid in champ_qids else None)
-                res = runs[qid](shard, pdf, None, champs=champs)
-                res.insert(0, "qid",
-                           np.full(len(res), qid, dtype=np.int32))
-                return res
+                shard = int(key[0])
+                seg_keys = _keys(pdf) if len(pdf) else None
+                ch_keys = (_keys(ch)
+                           if ch is not None and len(ch) else None)
+                outs = []
+                for qid, run in runs.items():
+                    if seg_keys is None:
+                        continue
+                    sub = pdf[seg_keys.isin(live_keys[qid])]
+                    if not len(sub):
+                        continue
+                    champs = None
+                    if qid in champ_qids and ch_keys is not None:
+                        cs = ch[ch_keys.isin(live_keys[qid])]
+                        champs = cs if len(cs) else None
+                    res = run(shard, sub, None, champs=champs)
+                    res.insert(0, "qid",
+                               np.full(len(res), qid, dtype=np.int32))
+                    outs.append(res)
+                if not outs:
+                    e = _empty_kernel_frame()
+                    e.insert(0, "qid", np.array([], dtype=np.int32))
+                    return e
+                return pd.concat(outs, ignore_index=True)
 
             # two wrappers: Spark validates grouped-map (2-arg) vs
             # cogrouped-map (3-arg) UDF signatures strictly
@@ -1663,15 +1690,13 @@ class FastTopK:
             def batch_kernel_cg(key, pdf, ch):
                 return _dispatch(key, pdf, ch)
 
-            if ch_branches:
-                chdf = ch_branches[0]
-                for b in ch_branches[1:]:
-                    chdf = chdf.unionByName(b)
-                job = (seg.groupBy("qid", "shard")
-                       .cogroup(chdf.groupBy("qid", "shard"))
+            if champ_qids:
+                chdf = self._champ.filter(self._term_cond(champ_terms))
+                job = (seg.groupBy("shard")
+                       .cogroup(chdf.groupBy("shard"))
                        .applyInPandas(batch_kernel_cg, BATCH_KERNEL_SCHEMA))
             else:
-                job = (seg.groupBy("qid", "shard")
+                job = (seg.groupBy("shard")
                        .applyInPandas(batch_kernel, BATCH_KERNEL_SCHEMA))
             self.last_job = job
             pdf = job.toPandas()
