@@ -225,3 +225,55 @@ def test_tiered_champions_engage_with_drift_safe_bound(spark, tiered_env):
         assert a.total == ref.total
         assert [(d, float(np.float32(s))) for d, s in a.hits] == \
             [(d, float(np.float32(s))) for d, s in ref.hits]
+
+
+def test_randomized_cross_path_fuzz(engines):
+    """Seeded fuzz over the FULL serving matrix: every random query is
+    answered by (a) the compacted single-index engine — the oracle-checked
+    ground truth, (b) the tiered engine solo, and (c) the tiered engine
+    through search_batch — and all three must agree exactly, including agg
+    buckets and the continuation cursor (which is replayed across paths:
+    a cursor minted by the compacted engine must resume the tiered one).
+    This pins the r5 interactions no fixed-query test covers jointly:
+    tier-union stats × champion seeding × range filters × field sorts ×
+    fused aggs × micro-batching × pagination."""
+    e_full, e_tier = engines
+    rng = np.random.default_rng(20260818)
+    vocab = ["def", "return", "import", "self", "uniqterm00000042",
+             "parse00001", "merge00000", "zzznope", "src", "license"]
+    feats = ["num_lines", "content_bytes", "avg_line_len"]
+
+    def rand_query():
+        q: dict = {"fulltext": " ".join(
+            ("+" if rng.random() < 0.15 else
+             "-" if rng.random() < 0.1 else "")
+            + vocab[int(rng.integers(len(vocab)))]
+            for _ in range(1 + int(rng.integers(3))))}
+        if rng.random() < 0.2:
+            q["fulltext"] = '"permission is hereby granted"'
+        q["num_items"] = int(rng.integers(1, 30))
+        if rng.random() < 0.4:
+            f = feats[int(rng.integers(len(feats)))]
+            lo = int(rng.integers(0, 50))
+            q["filter"] = {f: [lo, lo + int(rng.integers(1, 3000))]}
+        if rng.random() < 0.35:
+            q["sort"] = feats[int(rng.integers(len(feats)))]
+            q["ascending"] = bool(rng.random() < 0.5)
+        if rng.random() < 0.3:
+            af = feats[int(rng.integers(len(feats)))]
+            cut = int(rng.integers(1, 60))
+            q["agg"] = {af: [[0, cut], [cut, 10**6]]}
+        return q
+
+    for round_ in range(4):
+        batch = [rand_query() for _ in range(2 + int(rng.integers(5)))]
+        truth = [e_full.search(dict(q)) for q in batch]
+        solo = [e_tier.search(dict(q)) for q in batch]
+        batched = e_tier.search_batch([dict(q) for q in batch])
+        for q, a, b, c in zip(batch, truth, solo, batched):
+            _same(a, b, agg=True)
+            _same(a, c, agg=True)
+            if a.next:  # cursor minted on the compacted path resumes BOTH
+                follow = {**q, "after": a.next}
+                _same(e_full.search(dict(follow)),
+                      e_tier.search(dict(follow)), agg=True)
