@@ -1304,6 +1304,75 @@ def batched_search_sql() -> str:
 
 
 # ======================================================================
+# C5: boosted more-like-this THROUGH the engine — keywords extracted from
+# a document with the check_sim acceptor (the oracle-green top_terms
+# algebra), then searched as Boolean(shoulds=(Boost(Term)…)) with
+# per-term boost = 1.5·score/max_score (tique/src/topterms.rs:229-241,
+# check_sim.rs:120-131). The oracle re-derives the SAME keywords and
+# boosts in SQL and scores candidates with an ORDERED f64 sum (boost
+# DESC, term ASC — the kernel adds should-leaves in keyword order).
+# ======================================================================
+
+def mlt_boosted(spark, sf_dir, doc_id=TOPTERMS_DOC_ID,
+                n_kw=TOPTERMS_LIMIT, k=10) -> DataFrame:
+    from cantine_spark.mlt import (TopTerms, check_sim_acceptor,
+                                   into_boosted_query)
+    eng = _engine(spark, sf_dir)
+    row = (_docs(spark, sf_dir).filter(F.col("doc_id") == doc_id)
+           .select("text").collect())
+    kws = (TopTerms(eng.reader).extract(n_kw, row[0]["text"],
+                                        check_sim_acceptor) if row else [])
+    node = into_boosted_query(kws, 1.5)
+    res = eng._fast.search(node, k=k)
+    return _items_df(spark, [{"doc_id": d, "score": s} for d, s in res.hits])
+
+
+def mlt_boosted_sql(doc_id=TOPTERMS_DOC_ID, n_kw=TOPTERMS_LIMIT,
+                    k=10) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> length(x) < 40) AS toks
+  FROM documents),
+n AS (SELECT count(*) AS n, sum(len(toks)) AS sum_dl FROM tok),
+dfs AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+  GROUP BY term),
+input AS (SELECT unnest(toks) AS term FROM tok WHERE doc_id = {doc_id}),
+tfs AS (SELECT term, count(*) AS tf FROM input GROUP BY term),
+kw AS (
+  SELECT t.term, d.df,
+         t.tf * ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)) AS raw
+  FROM tfs t JOIN dfs d USING (term), n
+  WHERE d.df > 5 AND length(t.term) > 4
+  ORDER BY raw DESC, term ASC LIMIT {n_kw}),
+kwb AS (
+  SELECT term, df, 1.5 * raw / (SELECT max(raw) FROM kw) AS boost
+  FROM kw),
+doc_tf AS (
+  SELECT p.doc_id, p.term, count(*) AS tf, any_value(p.dl) AS dl
+  FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM tok) p
+  JOIN kwb USING (term)
+  GROUP BY p.doc_id, p.term),
+scored AS (
+  SELECT d.doc_id,
+         CAST(sum(
+           k.boost * ln(1.0 + (n.n - k.df + 0.5) / (k.df + 0.5))
+                   * (d.tf * 2.2)
+                   / (d.tf + 1.2 * (0.25 + 0.75 * d.dl
+                      / (CAST(n.sum_dl AS DOUBLE) / n.n)))
+           ORDER BY k.boost DESC, k.term ASC) AS REAL) AS s32
+  FROM doc_tf d JOIN kwb k USING (term), n
+  GROUP BY d.doc_id)
+SELECT doc_id, ROUND(CAST(s32 AS DOUBLE), 5) AS score
+FROM scored ORDER BY s32 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1323,7 +1392,8 @@ QUERIES = {
     "bm25_agg": (bm25_agg, bm25_agg_sql()),                           # A1+F1 fused (r4)
     "range_stats": (range_stats, range_stats_sql()),                  # A1/A3
     "doc_freq": (doc_freq, doc_freq_sql()),                           # A7
-    "top_terms": (top_terms, top_terms_sql()),                        # C4/C5
+    "top_terms": (top_terms, top_terms_sql()),                        # C4
+    "mlt_boosted": (mlt_boosted, mlt_boosted_sql()),                  # C5/U2
     # training-data pipeline operators (oracle-checked)
     "dedup_exact": (dedup_exact, dedup_exact_sql()),
     "minhash_near_dup": (minhash_near_dup, minhash_near_dup_sql()),
