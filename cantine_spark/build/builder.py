@@ -74,6 +74,27 @@ def _mark_stage(path: str, fingerprint: str, metrics: dict) -> None:
                    "completed_at": time.time()}, f, indent=2)
 
 
+def write_index_stats(dest: str, rows: list[tuple]) -> None:
+    """Write the per-field stats table (field, n_docs, total_len, avgdl)
+    straight from the driver with pyarrow. It is TEXT_FIELDS rows — routing
+    it through a Spark job costs a full Python-worker spawn in the build
+    profile (worker.reuse=false; measured 6.5-8 s for the 2-row frame vs
+    ~0.01 s here, ~15% of the whole 50k build). spark.read.parquet reads
+    the directory identically."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    table = pa.table(
+        {"field": pa.array([r[0] for r in rows], pa.string()),
+         "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+         "total_len": pa.array([r[2] for r in rows], pa.int64()),
+         "avgdl": pa.array([r[3] for r in rows], pa.float64())})
+    pq.write_table(table, os.path.join(dest, "part-00000.parquet"))
+
+
 def bucket_expr(field_col, term_col):
     """Partition bucket for a (field, term) pair — must match query-side
     computation in execution/executor.py so lookups prune directories."""
@@ -376,9 +397,7 @@ class IndexBuilder:
                 total = int(agg[f"t_{fld}"] or 0)
                 rows.append((fld, int(agg["n"]), total,
                              total / max(int(agg["n"]), 1)))
-            spark.createDataFrame(
-                rows, "field string, n_docs long, total_len long, avgdl double"
-            ).coalesce(1).write.mode("overwrite").parquet(is_path)
+            write_index_stats(is_path, rows)
             _mark_stage(is_path, fingerprint, {})
             self.stages_run.append("index_stats")
         else:

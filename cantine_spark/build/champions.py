@@ -71,43 +71,94 @@ CHAMPIONS_SCHEMA = T.StructType([
 ])
 
 
+def _decode_concat(blobs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of LEB128 blobs in ONE vectorized pass. The stream is
+    self-delimiting, so decoding the concatenation yields the same values;
+    per-blob value counts come from summing terminal bytes within each
+    blob's byte range. Returns (values, counts)."""
+    buf = b"".join(blobs)
+    vals = decode_varint(buf)
+    lens = np.fromiter((len(x) for x in blobs), np.int64, len(blobs))
+    ends = np.cumsum(lens)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    cum_last = np.cumsum((b & 0x80) == 0)
+    cnt_end = np.where(ends > 0, cum_last[np.maximum(ends - 1, 0)], 0)
+    counts = np.diff(np.concatenate([[0], cnt_end]))
+    return vals, counts
+
+
 def _champions_sorted(pdf: pd.DataFrame, avgdl: dict, cap: int) -> pd.DataFrame:
     """(field, term, shard, block_id)-sorted block rows → one champion row
-    per (field, term, shard) group. Per-group loop (decode is per-row
-    blob work anyway); numpy inside."""
+    per (field, term, shard) group. Batch-vectorized: ONE varint decode
+    over the whole batch, grouped cumsum for delta→doc_id, one global
+    lexsort with rank-within-group head selection (the original per-group
+    loop paid ~300k small numpy calls per 50k-doc build — 3× slower,
+    differential-tested bit-equal before the swap)."""
     n = len(pdf)
+    cols = [x.name for x in CHAMPIONS_SCHEMA.fields]
+    if n == 0:
+        return pd.DataFrame([], columns=cols)
     f = pdf["field"].to_numpy()
     t = pdf["term"].to_numpy()
     sh = pdf["shard"].to_numpy()
     change = np.ones(n, dtype=bool)
     change[1:] = (f[1:] != f[:-1]) | (t[1:] != t[:-1]) | (sh[1:] != sh[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    dd, tfc, dlc = pdf["doc_deltas"], pdf["tfs"], pdf["dls"]
+    gid = np.cumsum(change) - 1                     # group id per block row
+    n_groups = int(gid[-1]) + 1
+    blocks_per_group = np.bincount(gid, minlength=n_groups)
+
+    deltas, counts = _decode_concat(pdf["doc_deltas"].tolist())
+    tfs, _ = _decode_concat(pdf["tfs"].tolist())
+    dls, _ = _decode_concat(pdf["dls"].tolist())
+
+    # per-BLOCK delta → doc_id (grouped cumsum: reset at each block start)
+    run = np.cumsum(deltas)
+    vstart = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    base = np.zeros(len(counts), dtype=np.uint64)
+    nz = vstart > 0
+    base[nz] = run[vstart[nz] - 1]
+    block_of_val = np.repeat(np.arange(len(counts)), counts)
+    docs = (run - base[block_of_val]).astype(np.int64)
+
+    # tfnorm per value (avgdl by the block's field)
+    av_block = np.fromiter((avgdl[x] for x in f), np.float64, n)
+    av_val = av_block[block_of_val]
+    tfd = tfs.astype(np.float64)
+    tfn = tfd * (K1 + 1.0) / (
+        tfd + K1 * (1.0 - B + B * dls.astype(np.float64) / av_val))
+
+    # top-C per group by (tfnorm desc, doc asc): one global lexsort, then
+    # rank-within-group selects heads and the (C+1)-th tail bound
+    gov = gid[block_of_val]
+    order = np.lexsort((docs, -tfn, gov))
+    g_sorted = gov[order]
+    gchange = np.ones(len(order), dtype=bool)
+    gchange[1:] = g_sorted[1:] != g_sorted[:-1]
+    gstart = np.flatnonzero(gchange)
+    gsize = np.diff(np.append(gstart, len(order)))
+    rank = np.arange(len(order)) - np.repeat(gstart, gsize)
+
+    ord_head = order[rank < cap]
+    docs_h = docs[ord_head].astype("<u8")
+    tfs_h = tfs[ord_head].astype("<u4")
+    dls_h = dls[ord_head].astype("<u4")
+    n_champ = np.minimum(gsize, cap)
+    hstart = np.concatenate([[0], np.cumsum(n_champ)[:-1]]).astype(np.int64)
+    tails = np.zeros(n_groups, dtype=np.float64)
+    has_tail = gsize > cap
+    tails[has_tail] = tfn[order[gstart[has_tail] + cap]]
+
+    grow = np.flatnonzero(change)  # first block row of each group
     out = []
-    for s, e in zip(starts, ends):
-        docs = np.concatenate([
-            np.cumsum(decode_varint(dd.iat[i]), dtype=np.uint64)
-            for i in range(s, e)]).astype(np.int64)
-        tfs = np.concatenate([decode_varint(tfc.iat[i])
-                              for i in range(s, e)]).astype(np.int64)
-        dls = np.concatenate([decode_varint(dlc.iat[i])
-                              for i in range(s, e)]).astype(np.int64)
-        av = float(avgdl[f[s]])
-        tfd = tfs.astype(np.float64)
-        tfn = tfd * (K1 + 1.0) / (
-            tfd + K1 * (1.0 - B + B * dls.astype(np.float64) / av))
-        order = np.lexsort((docs, -tfn))
-        top = order[:cap]
-        tail = float(tfn[order[cap]]) if len(order) > cap else 0.0
-        out.append((
-            f[s], t[s], int(sh[s]), len(docs), len(top), int(e - s),
-            docs[top].astype("<u8").tobytes(),
-            tfs[top].astype("<u4").tobytes(),
-            dls[top].astype("<u4").tobytes(),
-            tail, av,
-        ))
-    return pd.DataFrame(out, columns=[x.name for x in CHAMPIONS_SCHEMA.fields])
+    for g in range(n_groups):
+        s, e = hstart[g], hstart[g] + n_champ[g]
+        i = grow[g]
+        out.append((f[i], t[i], int(sh[i]), int(gsize[g]), int(n_champ[g]),
+                    int(blocks_per_group[g]),
+                    docs_h[s:e].tobytes(), tfs_h[s:e].tobytes(),
+                    dls_h[s:e].tobytes(), float(tails[g]),
+                    float(av_block[i])))
+    return pd.DataFrame(out, columns=cols)
 
 
 def _champion_batches(avgdl: dict, cap: int):

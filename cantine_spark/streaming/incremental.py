@@ -160,17 +160,19 @@ class StreamingIndexer:
              .parquet(os.path.join(out, "term_stats")))
 
         dm = spark.read.parquet(os.path.join(out, "docmeta"))
-        from cantine_spark.build.builder import TEXT_FIELDS
+        from cantine_spark.build.builder import TEXT_FIELDS, write_index_stats
+        # one agg job covers every field; the TEXT_FIELDS-row result is
+        # written driver-side (write_index_stats) — a refresh must not pay
+        # a Python-worker spawn for a 2-row frame
+        agg = dm.agg(F.count("*").alias("n"),
+                     *[F.sum(f"doc_len_{fld}").alias(f"t_{fld}")
+                       for fld in TEXT_FIELDS]).collect()[0]
         rows = []
         for fld in TEXT_FIELDS:
-            agg = dm.agg(F.count("*").alias("n"),
-                         F.sum(f"doc_len_{fld}").alias("t")).collect()[0]
-            rows.append((fld, int(agg["n"]), int(agg["t"] or 0),
-                         float(agg["t"] or 0) / max(int(agg["n"]), 1)))
-        spark.createDataFrame(
-            rows, "field string, n_docs long, total_len long, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out, "index_stats"))
+            total = int(agg[f"t_{fld}"] or 0)
+            rows.append((fld, int(agg["n"]), total,
+                         total / max(int(agg["n"]), 1)))
+        write_index_stats(os.path.join(out, "index_stats"), rows)
 
         avgdl = {r[0]: r[3] for r in rows}
         n_docs = rows[0][1]
