@@ -26,6 +26,7 @@ is float32 (tantivy's Score type — see execution/scoring.py).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -61,6 +62,7 @@ class SearchExecutor:
         # term-dictionary cache: df per (field, term) is immutable for a
         # built index — the analog of tantivy's in-memory term dict/fst
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._doc_dataset = None  # lazy pyarrow doc-store dataset
         self._hydration_df: DataFrame | None = None
 
     HYDRATE_COLS = ("doc_id", "uuid", "repo", "path", "lang")
@@ -279,17 +281,80 @@ class SearchExecutor:
     def hydrate_ids(self, ids: list[int],
                     columns: list[str] | None = None) -> dict[int, dict]:
         """J5 when the winner ids are already on the driver (segment path):
-        a single isin-filtered scan of the doc store — docs/ is range-
-        partitioned + sorted by doc_id, so parquet row-group min/max stats
-        prune the scan to the few groups holding the winners (the analog of
-        the reference's per-id offset lookup, readerwriter.rs:61-66). No
-        join, no broadcast, one job."""
+        a point lookup of ≤255 ids in the doc store — docs/ is range-
+        partitioned + sorted by doc_id, so parquet min/max stats prune to
+        the few row groups holding the winners (the analog of the
+        reference's per-id offset lookup, readerwriter.rs:61-66).
+
+        Fast path: read those row groups DRIVER-SIDE with pyarrow — no
+        Spark job at all. A kernel query's only other Spark job is the
+        kernel itself, so this removes half the per-query scheduling floor
+        (measured ~110 ms of a ~600 ms query). Scale-honest: the read is
+        O(k) row groups regardless of corpus size, exactly what the
+        executor-side isin scan pruned to — we just skip shipping a
+        255-row job to the cluster to do it. Falls back to the pruned
+        Spark scan when the store isn't driver-readable."""
         if not ids:
             return {}
         cols = columns or list(self.HYDRATE_COLS)
-        src = self.reader.docs
-        if self._hydration_df is not None and set(cols) <= set(self.HYDRATE_COLS):
-            src = self._hydration_df  # pinned narrow projection (serving)
-        rows = (src.filter(F.col("doc_id").isin([int(i) for i in ids]))
-                .select(*cols).collect())
-        return {int(r["doc_id"]): r.asDict() for r in rows}
+        try:
+            return self._hydrate_driver(ids, cols)
+        except Exception:  # noqa: BLE001 — any driver-read issue → Spark
+            src = self.reader.docs
+            if (self._hydration_df is not None
+                    and set(cols) <= set(self.HYDRATE_COLS)):
+                src = self._hydration_df  # pinned narrow projection
+            rows = (src.filter(F.col("doc_id").isin([int(i) for i in ids]))
+                    .select(*cols).collect())
+            return {int(r["doc_id"]): r.asDict() for r in rows}
+
+    def _hydrate_driver(self, ids: list[int], cols: list[str]) -> dict[int, dict]:
+        import bisect
+
+        import pyarrow.dataset as pads
+        ranges = self._doc_dataset
+        if ranges is None:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+            # one footer pass per executor caches each file's doc_id
+            # [min, max] (docs/ is written repartitionByRange(doc_id) +
+            # sorted, builder.py) — lookups then open only the files whose
+            # range intersects the winner ids. Thread-safe: built once,
+            # read-only after (a benign double-build races to the same
+            # value). ~3 ms per lookup vs ~13-21 ms letting the dataset
+            # scanner stat-prune, vs ~110 ms as a Spark job.
+            ranges = []
+            for d in self.reader.doc_store_dirs():
+                if not os.path.isdir(d):
+                    raise FileNotFoundError(d)
+                for fp in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                    md = pq.ParquetFile(fp).metadata
+                    lo, hi = None, None
+                    for gi in range(md.num_row_groups):
+                        rg = md.row_group(gi)
+                        for ci in range(rg.num_columns):
+                            c = rg.column(ci)
+                            if c.path_in_schema == "doc_id":
+                                st = c.statistics
+                                if st is None or not st.has_min_max:
+                                    raise ValueError("doc_id stats missing")
+                                lo = st.min if lo is None else min(lo, st.min)
+                                hi = st.max if hi is None else max(hi, st.max)
+                    if lo is None:
+                        continue  # empty file
+                    ranges.append((int(lo), int(hi), fp))
+            if not ranges:
+                raise FileNotFoundError("no doc-store parquet files")
+            self._doc_dataset = ranges
+        want = sorted({int(i) for i in ids})
+        need = [fp for lo, hi, fp in ranges
+                if bisect.bisect_left(want, lo) < bisect.bisect_right(want, hi)]
+        if not need:
+            return {}
+        tbl = pads.dataset(need, format="parquet").to_table(
+            columns=list(cols), filter=pads.field("doc_id").isin(want))
+        out: dict[int, dict] = {}
+        for r in tbl.to_pylist():
+            out[int(r["doc_id"])] = r
+        return out

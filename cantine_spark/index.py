@@ -51,6 +51,12 @@ class IndexReader:
     def docs(self) -> DataFrame:
         return self.table("docs")
 
+    def doc_store_dirs(self) -> list[str]:
+        """Filesystem locations of the doc-store parquet — the executor's
+        driver-side point-lookup path (the reference's resident doc store,
+        readerwriter.rs:61-66) reads these directly with pyarrow."""
+        return [os.path.join(self.index_dir, "docs")]
+
     @cached_property
     def docmeta(self) -> DataFrame:
         return self.table("docmeta")

@@ -214,6 +214,9 @@ class TieredIndexReader(IndexReader):
     def docmeta_df(self, spark: SparkSession) -> DataFrame:
         return self._union("docmeta", spark)
 
+    def doc_store_dirs(self) -> list[str]:
+        return [os.path.join(d, "docs") for d in self.tier_dirs]
+
     def fastfields_spec(self) -> dict | None:
         metas = [load_fastfields_meta(d) for d in self.tier_dirs]
         if any(m is None for m in metas):

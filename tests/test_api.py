@@ -207,3 +207,34 @@ def test_oversized_fulltext_rejected():
     assert ok.fulltext
     with pytest.raises(BadRequest, match="exceeds"):
         SearchQuery.from_dict({"fulltext": "a " * MAX_QUERY_BYTES})
+
+
+def test_driver_hydration_equals_spark_scan(engine):
+    """hydrate_ids' driver-side pyarrow point lookup (the reference's
+    resident-doc-store read, readerwriter.rs:61-66 — no Spark job) must
+    return exactly what the pruned isin scan returns, and any driver-read
+    failure must fall back to that scan transparently."""
+    ex = engine.executor
+    res = engine.search({"fulltext": "def", "num_items": PAGE})
+    assert res.items
+    ids = [it["doc_id"] for it in res.items] + [10**12]  # one absent id
+    fast = ex._hydrate_driver(ids, list(ex.HYDRATE_COLS))
+    from pyspark.sql import functions as F
+    rows = (ex.reader.docs.filter(F.col("doc_id").isin(ids))
+            .select(*ex.HYDRATE_COLS).collect())
+    spark_side = {int(r["doc_id"]): r.asDict() for r in rows}
+    assert fast == spark_side and 10**12 not in fast
+
+    # forced failure → identical SearchResult through the fallback
+    q = {"fulltext": "def return", "num_items": PAGE}
+    r_fast = engine.search(dict(q))
+    orig = ex._hydrate_driver
+    try:
+        def boom(ids_, cols_):
+            raise RuntimeError("driver store unreadable")
+        ex._hydrate_driver = boom
+        r_fb = engine.search(dict(q))
+    finally:
+        ex._hydrate_driver = orig
+    assert [it for it in r_fast.items] == [it for it in r_fb.items]
+    assert r_fast.total_found == r_fb.total_found
