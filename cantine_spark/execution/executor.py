@@ -90,22 +90,64 @@ class SearchExecutor:
     def term_dfs(self, terms: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """Document frequency per query term. The query has a handful of
         terms; term_stats is bucket-partitioned + term-sorted, so this is a
-        pruned metadata-sized scan, collected to the driver (the analog of
-        tantivy's term-dictionary lookup). Results are cached per executor."""
+        pruned metadata-sized point lookup (the analog of tantivy's
+        term-dictionary/FST lookup). Results are cached per executor.
+
+        Like hydrate_ids, the lookup runs DRIVER-SIDE with pyarrow when the
+        store is driver-readable — a cold term must not cost a Spark job's
+        scheduling floor on the serving path — falling back to the pruned
+        Spark scan otherwise."""
         missing = {ft for ft in terms if ft not in self._df_cache}
         if missing:
-            ts = self.reader.term_stats
-            cond = functools.reduce(
-                lambda a, b: a | b,
-                [(F.col("field") == f) & (F.col("term") == t)
-                 for f, t in missing])
-            buckets = {self._bucket(f, t) for f, t in missing}
-            rows = (ts.filter(F.col("bucket").isin(*buckets)).filter(cond)
-                      .select("field", "term", "df").collect())
-            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            try:
+                found = self._term_dfs_driver(missing)
+            except Exception:  # noqa: BLE001 — any driver-read issue → Spark
+                ts = self.reader.term_stats
+                cond = functools.reduce(
+                    lambda a, b: a | b,
+                    [(F.col("field") == f) & (F.col("term") == t)
+                     for f, t in missing])
+                buckets = {self._bucket(f, t) for f, t in missing}
+                rows = (ts.filter(F.col("bucket").isin(*buckets)).filter(cond)
+                          .select("field", "term", "df").collect())
+                found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
             for ft in missing:
                 self._df_cache[ft] = found.get(ft, 0)
         return {ft: self._df_cache[ft] for ft in terms}
+
+    def _term_dfs_driver(
+            self, missing: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """df per (field, term) via pyarrow point reads of the bucket=K
+        term-stats dirs; rows across dirs SUM (one dir per tier in a tiered
+        reader — integer sums equal its term_stats groupBy exactly)."""
+        import glob as _glob
+        from collections import defaultdict
+
+        import pyarrow.dataset as pads
+        roots = self.reader.term_stats_dirs()
+        for d in roots:
+            if not os.path.isdir(d):
+                raise FileNotFoundError(d)
+        by_bucket: dict[int, list[tuple[str, str]]] = defaultdict(list)
+        for f, t in missing:
+            by_bucket[self._bucket(f, t)].append((f, t))
+        out: dict[tuple[str, str], int] = defaultdict(int)
+        for b, fts in by_bucket.items():
+            files = []
+            for d in roots:
+                files.extend(sorted(_glob.glob(
+                    os.path.join(d, f"bucket={b}", "*.parquet"))))
+            if not files:
+                continue  # no postings landed in this bucket → df 0
+            expr = functools.reduce(
+                lambda a, c: a | c,
+                [(pads.field("field") == f) & (pads.field("term") == t)
+                 for f, t in fts])
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["field", "term", "df"], filter=expr)
+            for r in tbl.to_pylist():
+                out[(r["field"], r["term"])] += int(r["df"])
+        return dict(out)
 
     @staticmethod
     def _bucket(field: str, term: str) -> int:

@@ -57,6 +57,14 @@ class IndexReader:
         readerwriter.rs:61-66) reads these directly with pyarrow."""
         return [os.path.join(self.index_dir, "docs")]
 
+    def term_stats_dirs(self) -> list[str]:
+        """Locations of the bucket-partitioned term dictionary — the
+        executor's driver-side df lookup (tantivy's in-memory term dict /
+        FST analog) point-reads bucket=K subdirs with pyarrow. Rows for
+        one (field, term) across the listed dirs SUM (a tiered reader
+        exposes one dir per tier; integer df sums are exact)."""
+        return [os.path.join(self.index_dir, "term_stats")]
+
     @cached_property
     def docmeta(self) -> DataFrame:
         return self.table("docmeta")

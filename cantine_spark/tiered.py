@@ -217,6 +217,11 @@ class TieredIndexReader(IndexReader):
     def doc_store_dirs(self) -> list[str]:
         return [os.path.join(d, "docs") for d in self.tier_dirs]
 
+    def term_stats_dirs(self) -> list[str]:
+        # one dir per tier — the executor's driver-side df lookup sums the
+        # per-tier rows, matching this class's term_stats groupBy-SUM
+        return [os.path.join(d, "term_stats") for d in self.tier_dirs]
+
     def fastfields_spec(self) -> dict | None:
         metas = [load_fastfields_meta(d) for d in self.tier_dirs]
         if any(m is None for m in metas):

@@ -238,3 +238,31 @@ def test_driver_hydration_equals_spark_scan(engine):
         ex._hydrate_driver = orig
     assert [it for it in r_fast.items] == [it for it in r_fb.items]
     assert r_fast.total_found == r_fb.total_found
+
+
+def test_driver_term_dfs_equals_spark_scan(engine):
+    """term_dfs' driver-side bucket point lookup must return the same
+    document frequencies as the pruned Spark scan, including df=0 for
+    unknown terms, and fall back transparently on driver-read failure."""
+    from cantine_spark.execution.executor import SearchExecutor
+    ex = SearchExecutor(engine.reader)  # fresh df cache
+    terms = {("content", "def"), ("content", "return"),
+             ("content", "zzz_not_a_term"), ("path", "src")}
+    fast = ex._term_dfs_driver(set(terms))
+    rows = engine.reader.term_stats.collect()
+    spark_side = {}
+    for r in rows:
+        spark_side[(r["field"], r["term"])] = (
+            spark_side.get((r["field"], r["term"]), 0) + int(r["df"]))
+    for ft in terms:
+        assert fast.get(ft, 0) == spark_side.get(ft, 0), ft
+    # the public method fills unknowns with 0 and caches
+    ex2 = SearchExecutor(engine.reader)
+    via_api = ex2.term_dfs(set(terms))
+    assert via_api == {ft: spark_side.get(ft, 0) for ft in terms}
+    # forced failure → same answer through the Spark fallback
+    ex3 = SearchExecutor(engine.reader)
+    def boom(missing):
+        raise RuntimeError("driver store unreadable")
+    ex3._term_dfs_driver = boom
+    assert ex3.term_dfs(set(terms)) == via_api
