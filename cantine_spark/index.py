@@ -182,15 +182,28 @@ class IndexReader:
         doc_id = self.id_for_uuid(uuid)
         return None if doc_id is None else self.find_by_id(doc_id)
 
+    def uuid_map_dirs(self) -> list[str]:
+        """Locations of the hash-bucketed uuid→doc_id side table for the
+        driver-side cursor resolve (one ubucket=K point read per lookup)."""
+        return [os.path.join(self.index_dir, "uuid_map")]
+
     def id_for_uuid(self, uuid: str) -> int | None:
         """uuid → doc_id via the hash-bucketed uuid_map side table — the
         analog of the reference's O(1) uuid HashMap (readerwriter.rs:30-55).
         The bucket is computed driver-side (pure-Python xxhash64 parity with
-        the build-side Spark expression), so the scan reads ONE bucket
-        directory regardless of corpus size. Indexes built before uuid_map
-        existed fall back to a (full) doc-store scan rather than erroring.
-        Raises on duplicate uuids — a cursor must never silently resume from
-        the wrong doc."""
+        the build-side Spark expression), so the lookup reads ONE bucket
+        directory regardless of corpus size — driver-side with pyarrow on
+        the serving path (a cursor resolve must not pay a Spark job's
+        scheduling floor), Spark scan as the fallback. Indexes built before
+        uuid_map existed fall back to a (full) doc-store scan rather than
+        erroring. Raises on duplicate uuids — a cursor must never silently
+        resume from the wrong doc."""
+        try:
+            return self._id_for_uuid_driver(uuid)
+        except ValueError:
+            raise  # the duplicate-uuid invariant, not a read failure
+        except Exception:  # noqa: BLE001 — any driver-read issue → Spark
+            pass
         try:
             um = self.uuid_map
         except SchemaMismatch:
@@ -207,6 +220,30 @@ class IndexReader:
         if len(rows) > 1:
             raise ValueError(f"duplicate uuid {uuid!r} in doc store")
         return int(rows[0]["doc_id"])
+
+    def _id_for_uuid_driver(self, uuid: str) -> int | None:
+        import glob as _glob
+
+        import pyarrow.dataset as pads
+
+        from cantine_spark.functions.xxhash import spark_xxhash64_strings
+        n_buckets = int(self.manifest.get("n_buckets", 64))
+        b = spark_xxhash64_strings(uuid) % n_buckets
+        files = []
+        for d in self.uuid_map_dirs():
+            if not os.path.isdir(d):
+                raise FileNotFoundError(d)
+            files.extend(sorted(_glob.glob(
+                os.path.join(d, f"ubucket={b}", "*.parquet"))))
+        if not files:
+            return None  # empty bucket → uuid unseen
+        tbl = pads.dataset(files, format="parquet").to_table(
+            columns=["uuid", "doc_id"], filter=pads.field("uuid") == uuid)
+        if tbl.num_rows == 0:
+            return None
+        if tbl.num_rows > 1:
+            raise ValueError(f"duplicate uuid {uuid!r} in doc store")
+        return int(tbl.column("doc_id")[0].as_py())
 
     def uuid_for_id(self, doc_id: int) -> str | None:
         row = self.find_by_id(doc_id)

@@ -222,6 +222,12 @@ class TieredIndexReader(IndexReader):
         # per-tier rows, matching this class's term_stats groupBy-SUM
         return [os.path.join(d, "term_stats") for d in self.tier_dirs]
 
+    def uuid_map_dirs(self) -> list[str]:
+        # a uuid lives in exactly one tier (disjoint doc ranges + per-build
+        # uniqueness gate); reading every tier's bucket preserves the
+        # duplicate-uuid invariant check across tiers
+        return [os.path.join(d, "uuid_map") for d in self.tier_dirs]
+
     def fastfields_spec(self) -> dict | None:
         metas = [load_fastfields_meta(d) for d in self.tier_dirs]
         if any(m is None for m in metas):

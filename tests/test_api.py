@@ -266,3 +266,21 @@ def test_driver_term_dfs_equals_spark_scan(engine):
         raise RuntimeError("driver store unreadable")
     ex3._term_dfs_driver = boom
     assert ex3.term_dfs(set(terms)) == via_api
+
+
+def test_driver_uuid_resolve_equals_spark_scan(engine):
+    """id_for_uuid's driver-side bucket point read must agree with the
+    Spark bucket scan (hit, miss, and fallback-on-failure)."""
+    reader = engine.reader
+    row = reader.docs.select("uuid", "doc_id").first()
+    assert reader._id_for_uuid_driver(row["uuid"]) == int(row["doc_id"])
+    assert reader._id_for_uuid_driver("0" * 32) is None
+    orig = reader._id_for_uuid_driver
+    try:
+        def boom(u):
+            raise RuntimeError("driver store unreadable")
+        reader._id_for_uuid_driver = boom
+        assert reader.id_for_uuid(row["uuid"]) == int(row["doc_id"])
+        assert reader.id_for_uuid("0" * 32) is None
+    finally:
+        reader._id_for_uuid_driver = orig
