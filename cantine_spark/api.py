@@ -69,13 +69,36 @@ class SearchQuery:
             # string would tokenize into an unbounded term tree
             raise BadRequest(f"fulltext exceeds {MAX_QUERY_BYTES} bytes")
         q = cls(**d)
+        # shape validation first — serde rejects wrong JSON types before any
+        # value check (model.rs:188-200); a str num_items or a list filter
+        # must be a clean 400, never a TypeError escaping into the batcher
+        if ft is not None and not isinstance(ft, str):
+            raise BadRequest("fulltext must be a string")
+        if q.num_items is not None and (isinstance(q.num_items, bool)
+                                        or not isinstance(q.num_items, int)):
+            raise BadRequest("num_items must be an integer")
+        if q.sort is not None and not isinstance(q.sort, str):
+            raise BadRequest("sort must be a string")
+        if not isinstance(q.ascending, bool):
+            raise BadRequest("ascending must be a boolean")
+        if q.after is not None and not isinstance(q.after, str):
+            raise BadRequest("after must be a string")
+        for name, v in [("filter", q.filter), ("agg", q.agg)]:
+            if v is not None and not isinstance(v, dict):
+                raise BadRequest(f"{name} must be an object")
+        if q.agg is not None and not all(
+                isinstance(v, (list, tuple)) for v in q.agg.values()):
+            raise BadRequest("agg values are lists of [lo, hi] pairs")
         if q.num_items is not None and not 1 <= q.num_items <= MAX_ITEMS:
             raise BadRequest("num_items must be in 1..=255")
         for name, rngs in [("filter", [v for v in (q.filter or {}).values()]),
                            ("agg", [r for v in (q.agg or {}).values() for r in v])]:
             for r in rngs:
-                if len(r) != 2:
+                if not isinstance(r, (list, tuple)) or len(r) != 2:
                     raise BadRequest(f"{name} ranges are [lo, hi] pairs")
+                if not all(isinstance(b, (int, float))
+                           and not isinstance(b, bool) for b in r):
+                    raise BadRequest(f"{name} range bounds must be numbers")
         if features is not None:
             q.validate_features(features)
         return q
@@ -123,6 +146,24 @@ class SearchEngine:
             if self.reader.has_segments else None)
         if self.pin_tables:
             self.executor.pin_hydration()
+        self._info: dict | None = None
+
+    def info(self) -> dict:
+        """Full-index /info view — n_docs, tier count, per-feature
+        min/max/count. Computed ONCE per engine and cached: the tables
+        behind it are immutable for this engine's tier set (a refresh
+        swaps in a NEW engine, main.rs:174-189 computes the same view once
+        at startup and :245 serves the cached value). Lazily-once so test
+        engines that never serve /info pay nothing."""
+        if self._info is None:
+            from cantine_spark.aggregate import full_range_info
+            self._info = {
+                "n_docs": self.reader.num_docs,
+                "tiers": len(self.reader.manifest.get("tiers", [])) or 1,
+                "features": full_range_info(self.reader.docmeta,
+                                            sorted(self.features)),
+            }
+        return self._info
 
     def close(self) -> None:
         """Release pinned tables (serving refresh swaps engines)."""
@@ -341,7 +382,13 @@ class SearchEngine:
         k = query.num_items or DEFAULT_ITEMS
         node, preds = self.interpret(query)
         after = self._decode_after(query)
+        return self._search_resolved(query, k, node, preds, after)
 
+    def _search_resolved(self, query: SearchQuery, k: int, node: QueryNode,
+                         preds: list, after: tuple | None) -> SearchResult:
+        """Execute a query whose cursor/tree are already resolved — shared
+        by search() and the search_batch fallback paths, so a paginated
+        query never pays the cursor uuid point-read twice."""
         # DEFAULT PATH: every fulltext query over a pure term/phrase tree —
         # relevance or field-sorted, filtered, aggregating or not — runs on
         # the compressed block-max segments (the reference's searcher IS its
@@ -448,7 +495,7 @@ class SearchEngine:
 
     # ---------------------------------------------------------- search_batch
     def search_batch(self, queries: list[SearchQuery | dict]
-                     ) -> list[SearchResult]:
+                     ) -> list[SearchResult | BadRequest]:
         """Answer a micro-batch of queries with at most two kernel Spark
         jobs plus ONE shared hydration scan (FastTopK.search_many has the
         full rationale: every driver-scheduled job pays a fixed ~100-200 ms
@@ -461,24 +508,34 @@ class SearchEngine:
         fallbacks (pre-sidecar indexes), and gated or sidecar-uncovered
         aggregations (their second pass needs per-query totals first).
 
-        Raises BadRequest on the FIRST invalid query — callers that need
-        per-query error isolation (the HTTP batcher) validate each query
-        before batching."""
-        parsed: list[SearchQuery] = []
-        for q in queries:
-            if isinstance(q, dict):
-                q = SearchQuery.from_dict(q, features=self.features)
-            else:
-                q.validate_features(self.features)
-            parsed.append(q)
-        results: list[SearchResult | None] = [None] * len(parsed)
+        Per-query error isolation: a query that fails to parse, validate,
+        or resolve its cursor (all BadRequest shapes) fails ONLY its own
+        slot — that slot holds the BadRequest instance instead of a
+        SearchResult, and every other query in the batch still runs. This
+        matches the HTTP batcher's documented isolation (a stale cursor
+        from one client must never 400 its batch-mates). Engine-level
+        failures (Spark job errors) still raise for the whole batch."""
+        results: list[SearchResult | BadRequest | None] = [None] * len(queries)
+        resolved: list[tuple[int, SearchQuery, int, QueryNode, list,
+                             tuple | None]] = []
+        for i, q in enumerate(queries):
+            try:
+                if isinstance(q, dict):
+                    q = SearchQuery.from_dict(q, features=self.features)
+                else:
+                    q.validate_features(self.features)
+                k = q.num_items or DEFAULT_ITEMS
+                node, preds = self.interpret(q)
+                after = self._decode_after(q)
+            except BadRequest as e:
+                results[i] = e
+                continue
+            resolved.append((i, q, k, node, preds, after))
         ctxs: dict[int, dict] = {}
-        for i, query in enumerate(parsed):
-            k = query.num_items or DEFAULT_ITEMS
-            node, preds = self.interpret(query)
-            after = self._decode_after(query)
+        for i, query, k, node, preds, after in resolved:
             if self._fast is None or not segment_eligible(node):
-                results[i] = self.search(query)
+                results[i] = self._search_resolved(query, k, node, preds,
+                                                   after)
                 continue
             sort_feature = (None if query.sort in (None, "relevance")
                             else query.sort)

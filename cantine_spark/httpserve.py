@@ -80,6 +80,11 @@ class QueryBatcher:
     max_batch: int = 16
     window_ms: float = 5.0
     max_concurrent: int = 4
+    # hard cap on how long one request may wait for its batch to answer —
+    # a last-resort guard so a wedged dispatch can never hang a client
+    # thread forever (every dispatch path also try/finally-resolves its
+    # pendings, so this should never fire in practice)
+    wait_timeout_s: float = 120.0
 
     def __post_init__(self):
         from concurrent.futures import ThreadPoolExecutor
@@ -101,7 +106,9 @@ class QueryBatcher:
                 raise RuntimeError("batcher stopped")
             self._pending.append(p)
             self._cond.notify()
-        p.event.wait()
+        if not p.event.wait(timeout=self.wait_timeout_s):
+            p.error = RuntimeError(
+                f"batch dispatch timed out after {self.wait_timeout_s}s")
         if p.error is not None:
             raise p.error
         return p.result
@@ -159,6 +166,22 @@ class QueryBatcher:
             self._slots.release()
 
     def _run_batch(self, batch: list[_Pending]) -> None:
+        # INVARIANT: every _Pending in `batch` has its event set by the time
+        # this returns — the finally backstop guarantees it even if a bug in
+        # the body escapes, so one bad request can never wedge its
+        # batch-mates' handler threads (they would otherwise block forever
+        # on p.event.wait()).
+        try:
+            self._run_batch_inner(batch)
+        finally:
+            for p in batch:
+                if not p.event.is_set():
+                    if p.error is None and p.result is None:
+                        p.error = RuntimeError(
+                            "batch dispatch failed to resolve this request")
+                    p.event.set()
+
+    def _run_batch_inner(self, batch: list[_Pending]) -> None:
         try:
             engine = getattr(self.backend, "engine", self.backend)
         except Exception as e:  # noqa: BLE001 — e.g. "no generations yet"
@@ -174,12 +197,20 @@ class QueryBatcher:
             except BadRequest as e:
                 p.error = e
                 p.event.set()
+            except Exception as e:  # noqa: BLE001 — any malformed shape
+                # from_dict validates types, but ANY escape here must fail
+                # only this request, never the batch
+                p.error = BadRequest(f"malformed query: {e}")
+                p.event.set()
         if not valid:
             return
         try:
             if len(valid) == 1:  # no batching overhead for a lone request
                 results = [engine.search(valid[0][1])]
             else:
+                # search_batch isolates per-query errors (bad cursor etc.)
+                # in-slot as BadRequest instances — only engine-level
+                # failures raise, and only those fail the whole batch
                 results = engine.search_batch([q for _, q in valid])
         except Exception as e:  # noqa: BLE001
             for p, _ in valid:
@@ -187,7 +218,10 @@ class QueryBatcher:
                 p.event.set()
             return
         for (p, _), r in zip(valid, results):
-            p.result = r
+            if isinstance(r, Exception):
+                p.error = r
+            else:
+                p.result = r
             p.event.set()
 
 
@@ -240,16 +274,11 @@ class SearchHTTPServer:
                         return self._json(503, {"status": "no index yet"})
                     return self._json(200, {"status": "ok"})
                 if self.path == "/info":
-                    from cantine_spark.aggregate import full_range_info
-                    eng = backend.engine
-                    feats = sorted(eng.features)
-                    return self._json(200, {
-                        "n_docs": eng.reader.num_docs,
-                        "tiers": len(eng.reader.manifest.get("tiers", []))
-                        or 1,
-                        "features": full_range_info(eng.reader.docmeta,
-                                                    feats),
-                    })
+                    # cached per engine generation (SearchEngine.info) —
+                    # the full docmeta aggregation runs at most once per
+                    # tier set, never per request (main.rs:245 serves the
+                    # startup-computed value)
+                    return self._json(200, backend.engine.info())
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):  # noqa: N802

@@ -195,3 +195,64 @@ def test_randomized_batches_vs_single(engine):
         batched = engine.search_batch([dict(q) for q in batch])
         for q, a, b in zip(batch, singles, batched):
             _assert_result_equal(a, b, ctx=f"round {round_}: {q}")
+
+
+def test_batch_isolates_per_query_errors(engine):
+    """VERDICT r5 brief #7 + ADVICE (medium): one bad cursor in a batch of
+    three fails ONLY its own slot — that slot holds the BadRequest instance
+    and its batch-mates answer exactly as they would solo. Previously the
+    whole batch raised on the first invalid query, so a stale cursor from
+    one HTTP client 400'd every request coalesced into its window."""
+    from cantine_spark.api import BadRequest
+    from cantine_spark.cursor import SearchCursor
+
+    good1 = {"fulltext": "def", "num_items": 5}
+    good2 = {"fulltext": "uniqterm00000042"}
+    solo1 = engine.search(dict(good1))
+    solo2 = engine.search(dict(good2))
+
+    # undecodable cursor string
+    bad_wire = {"fulltext": "def", "after": "!!not-a-cursor!!"}
+    r = engine.search_batch([dict(good1), dict(bad_wire), dict(good2)])
+    assert isinstance(r[1], BadRequest)
+    _assert_result_equal(r[0], solo1, "slot 0 beside bad wire cursor")
+    _assert_result_equal(r[2], solo2, "slot 2 beside bad wire cursor")
+
+    # valid wire format, unknown uuid (the reference's 400 on an unknown
+    # cursor doc, main.rs:53-76)
+    ghost = SearchCursor.relevance(1.0, b"\x00" * 16).encode()
+    r = engine.search_batch([dict(good1), {"fulltext": "def", "after": ghost}])
+    assert isinstance(r[1], BadRequest)
+    _assert_result_equal(r[0], solo1, "slot 0 beside ghost uuid")
+
+    # cursor tag does not match the sort mode
+    page1 = engine.search({"fulltext": "def", "num_items": 3})
+    mismatched = {"fulltext": "def", "sort": "num_lines",
+                  "after": page1.next}
+    r = engine.search_batch([dict(mismatched), dict(good2)])
+    assert isinstance(r[0], BadRequest)
+    _assert_result_equal(r[1], solo2, "slot 1 beside tag-mismatch cursor")
+
+
+def test_batch_isolates_malformed_query_shapes(engine):
+    """Wrong JSON types (str num_items, list filter) must come back as
+    per-slot BadRequests, never TypeErrors escaping the batch."""
+    from cantine_spark.api import BadRequest
+
+    good = {"fulltext": "def", "num_items": 3}
+    solo = engine.search(dict(good))
+    r = engine.search_batch([
+        {"fulltext": "def", "num_items": "10"},
+        {"fulltext": "def", "filter": ["num_lines", 0, 10]},
+        dict(good),
+    ])
+    assert isinstance(r[0], BadRequest)
+    assert isinstance(r[1], BadRequest)
+    _assert_result_equal(r[2], solo, "good slot beside malformed shapes")
+
+
+def test_batch_all_invalid_returns_all_errors(engine):
+    from cantine_spark.api import BadRequest
+
+    r = engine.search_batch([{"bogus": 1}, {"num_items": 0}])
+    assert all(isinstance(x, BadRequest) for x in r)

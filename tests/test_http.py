@@ -239,3 +239,55 @@ def test_same_port_sees_new_generation(http_env):
     assert n_docs == N
     code, body = _post(http.url, {"fulltext": "def", "num_items": 5})
     assert code == 200 and body["total_found"] > 0
+
+
+def test_malformed_and_stale_cursor_never_wedge_the_batch(http_env):
+    """r5 ADVICE (high+medium): a query whose JSON types are wrong (str
+    num_items) or whose cursor is stale must fail ONLY its own request —
+    previously the TypeError escaped _run_batch and left every coalesced
+    batch-mate blocked forever on event.wait(), and a cursor BadRequest
+    400'd the whole batch. All requests here share one window."""
+    import threading
+
+    http, *_ = http_env
+    http._batcher.window_ms = 300
+    try:
+        oks, bad_codes, errors = [], [], []
+
+        def good():
+            try:
+                code, body = _post(http.url, {"fulltext": "def",
+                                              "num_items": 3})
+                oks.append((code, body["total_found"]))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+        def bad(payload):
+            def run():
+                try:
+                    _post(http.url, payload)
+                    errors.append(f"bad request did not fail: {payload}")
+                except urllib.error.HTTPError as e:
+                    bad_codes.append(e.code)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(repr(e))
+            return run
+
+        threads = ([threading.Thread(target=good) for _ in range(4)]
+                   + [threading.Thread(target=bad(
+                       {"fulltext": "def", "num_items": "10"}))]
+                   + [threading.Thread(target=bad(
+                       {"fulltext": "def", "filter": [1, 2]}))]
+                   + [threading.Thread(target=bad(
+                       {"fulltext": "def", "after": "stale!!cursor"}))])
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not any(t.is_alive() for t in threads), "a request hung"
+        assert not errors
+        assert sorted(bad_codes) == [400, 400, 400]
+        assert len(oks) == 4 and all(c == 200 for c, _ in oks)
+        assert len({t for _, t in oks}) == 1
+    finally:
+        http._batcher.window_ms = 5
