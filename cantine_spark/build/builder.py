@@ -36,7 +36,6 @@ hot bucket. Per-partition row metrics land in the manifest.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -45,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cantine_spark import fsutil
 from cantine_spark.analysis import tokens_udf
 
 TEXT_FIELDS = ("content", "path")  # multi-field index (C6 analog of
@@ -58,20 +58,17 @@ def _stage_marker(path: str) -> str:
 
 
 def _stage_done(path: str, fingerprint: str) -> bool:
-    m = _stage_marker(path)
-    if not os.path.exists(m):
-        return False
     try:
-        with open(m) as f:
-            return json.load(f).get("fingerprint") == fingerprint
-    except (OSError, json.JSONDecodeError):
+        return (fsutil.read_json(_stage_marker(path))
+                .get("fingerprint") == fingerprint)
+    except Exception:  # noqa: BLE001 — absent/unreadable on any filesystem
         return False
 
 
 def _mark_stage(path: str, fingerprint: str, metrics: dict) -> None:
-    with open(_stage_marker(path), "w") as f:
-        json.dump({"fingerprint": fingerprint, "metrics": metrics,
-                   "completed_at": time.time()}, f, indent=2)
+    fsutil.write_json(_stage_marker(path),
+                      {"fingerprint": fingerprint, "metrics": metrics,
+                       "completed_at": time.time()})
 
 
 def write_index_stats(dest: str, rows: list[tuple]) -> None:
@@ -80,19 +77,26 @@ def write_index_stats(dest: str, rows: list[tuple]) -> None:
     it through a Spark job costs a full Python-worker spawn in the build
     profile (worker.reuse=false; measured 6.5-8 s for the 2-row frame vs
     ~0.01 s here, ~15% of the whole 50k build). spark.read.parquet reads
-    the directory identically."""
-    import shutil
+    the directory identically.
 
+    Routed through pyarrow.fs (fsutil.resolve) so the driver-side write
+    works on any destination the replaced .write.parquet supported —
+    hdfs://, s3a://, file:// — not just local paths (r5 ADVICE)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
+    from pyarrow import fs as pafs
+
+    fsys, path = fsutil.resolve(dest)
+    if fsys.get_file_info(path).type != pafs.FileType.NotFound:
+        fsys.delete_dir(path)
+    fsys.create_dir(path, recursive=True)
     table = pa.table(
         {"field": pa.array([r[0] for r in rows], pa.string()),
          "n_docs": pa.array([r[1] for r in rows], pa.int64()),
          "total_len": pa.array([r[2] for r in rows], pa.int64()),
          "avgdl": pa.array([r[3] for r in rows], pa.float64())})
-    pq.write_table(table, os.path.join(dest, "part-00000.parquet"))
+    pq.write_table(table, fsutil.join(path, "part-00000.parquet"),
+                   filesystem=fsys)
 
 
 def bucket_expr(field_col, term_col):
@@ -242,7 +246,7 @@ class IndexBuilder:
         """Run all stages; each is independently resumable. `corpus_with_ids`
         must carry doc_id (see corpus.with_doc_ids)."""
         spark = self.spark
-        os.makedirs(self.index_dir, exist_ok=True)
+        fsutil.ensure_dir(self.index_dir)
 
         # Tokenize ONCE into a parquet intermediate (stage "tokenized"), and
         # have every downstream stage read it back. Two scale lessons are
@@ -429,9 +433,8 @@ class IndexBuilder:
         # a resumed build that skips the stage never records it — ADVICE r2)
         post_path = os.path.join(self.index_dir, "postings")
         try:
-            with open(_stage_marker(post_path)) as f:
-                pm = json.load(f)
-        except (OSError, json.JSONDecodeError):
+            pm = fsutil.read_json(_stage_marker(post_path))
+        except Exception:  # noqa: BLE001
             pm = None
         if pm is not None and pm.get("fingerprint") == fingerprint:
             pmm = pm.get("metrics") or {}
@@ -450,8 +453,8 @@ class IndexBuilder:
             "postings_rows_per_bucket": bucket_rows,
             "built_at": time.time(),
         }
-        with open(os.path.join(self.index_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
+        fsutil.write_json(os.path.join(self.index_dir, "manifest.json"),
+                          manifest)
         return manifest
 
 

@@ -49,6 +49,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 from pyspark.sql import types as T
 
 from cantine_spark.build.codec import decode_varint
@@ -216,15 +218,13 @@ def write_champions(spark: SparkSession, index_dir: str,
     meta = {"format": 1, "cap": cap, "shard_span": shard_span,
             "avgdl": {k: float(v) for k, v in avgdl.items()},
             "seconds": round(time.time() - t0, 3)}
-    with open(os.path.join(out_path, "_CHAMPIONS_META.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
+    fsutil.write_json(fsutil.join(out_path, "_CHAMPIONS_META.json"), meta)
     return meta
 
 
 def load_champions_meta(index_dir: str) -> dict | None:
-    p = os.path.join(index_dir, "champions", "_CHAMPIONS_META.json")
+    p = fsutil.join(index_dir, "champions", "_CHAMPIONS_META.json")
     try:
-        with open(p) as fh:
-            return json.load(fh)
-    except (OSError, json.JSONDecodeError):
+        return fsutil.read_json(p)
+    except Exception:  # noqa: BLE001 — missing/unreadable on any filesystem
         return None

@@ -41,6 +41,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 from pyspark.sql import types as T
 
 from cantine_spark.build.codec import decode_varint
@@ -74,8 +76,8 @@ def _decode_block_full(row):
 
 def _generation_span(path: str) -> int | None:
     try:
-        with open(os.path.join(path, "_SEGMENTS_META.json")) as f:
-            return int(json.load(f)["shard_span"])
+        return int(fsutil.read_json(
+            fsutil.join(path, "_SEGMENTS_META.json"))["shard_span"])
     except (OSError, json.JSONDecodeError, KeyError, ValueError):
         return None
 
@@ -157,8 +159,7 @@ def merge_segments(spark: SparkSession, segment_paths: list[str],
             "generation_spans": spans,
             "aligned_fast_path": aligned,
             "merge_seconds": round(time.time() - t0, 3)}
-    with open(os.path.join(out_path, "_SEGMENTS_META.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    fsutil.write_json(fsutil.join(out_path, "_SEGMENTS_META.json"), meta)
     return meta
 
 

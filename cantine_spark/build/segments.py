@@ -39,6 +39,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 from pyspark.sql import types as T
 
 from cantine_spark.build.codec import encode_varint, encode_varint_with_lengths
@@ -226,18 +228,16 @@ def write_fastfields(spark: SparkSession, index_dir: str,
        .sortWithinPartitions("shard", "doc_id")
        .write.mode("overwrite").partitionBy("shard").parquet(out))
     meta = {"shard_span": shard_span, "columns": num_cols}
-    with open(os.path.join(out, "_FF_META.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    fsutil.write_json(fsutil.join(out, "_FF_META.json"), meta)
     return meta
 
 
 def load_fastfields_meta(index_dir: str) -> dict | None:
     """Sidecar metadata, or None when absent/unreadable (pre-sidecar index)."""
-    p = os.path.join(index_dir, "fastfields", "_FF_META.json")
+    p = fsutil.join(index_dir, "fastfields", "_FF_META.json")
     try:
-        with open(p) as f:
-            return json.load(f)
-    except (OSError, json.JSONDecodeError):
+        return fsutil.read_json(p)
+    except Exception:  # noqa: BLE001 — missing/unreadable on any filesystem
         return None
 
 
@@ -247,8 +247,8 @@ def build_segments(spark: SparkSession, index_dir: str,
     """Encode the postings table into the compressed segments table."""
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     if n_docs is None:
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            n_docs = json.load(f)["n_docs"]
+        n_docs = fsutil.read_json(
+            fsutil.join(index_dir, "manifest.json"))["n_docs"]
     parallelism = spark.sparkContext.defaultParallelism
     span = shard_span or max(BLOCK_SIZE * 8, n_docs // (parallelism * 4) + 1)
 
@@ -285,11 +285,10 @@ def build_segments(spark: SparkSession, index_dir: str,
     meta = {"format": 2, "shard_span": span, "block_size": BLOCK_SIZE,
             "n_blocks": n_blocks, "fastfields": True,
             "encode_seconds": seconds}
-    with open(os.path.join(out_path, "_SEGMENTS_META.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    fsutil.write_json(fsutil.join(out_path, "_SEGMENTS_META.json"), meta)
     return meta
 
 
 def load_segments_meta(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "segments", "_SEGMENTS_META.json")) as f:
-        return json.load(f)
+    return fsutil.read_json(
+        fsutil.join(index_dir, "segments", "_SEGMENTS_META.json"))

@@ -678,7 +678,10 @@ def _read_ff_shard(path: str, cols: tuple[str, ...]):
         return hit
     import pyarrow.dataset as pads  # noqa: PLC0415 (executor-side import)
 
-    pdf = pads.dataset(path).to_table(columns=["doc_id", *cols]).to_pandas()
+    from cantine_spark import fsutil  # noqa: PLC0415
+    fsys, local = fsutil.resolve(path)
+    pdf = (pads.dataset(local, filesystem=fsys)
+           .to_table(columns=["doc_id", *cols]).to_pandas())
     out = (pdf["doc_id"].to_numpy(np.int64),
            {c: pdf[c].to_numpy(np.float64) for c in cols})
     if len(_FF_CACHE) >= _FF_CACHE_CAP:
@@ -707,9 +710,10 @@ def _load_fastfields(spec, shard: int, span: int,
     else:
         lo, hi = shard * span, (shard + 1) * span
         dirs = [d for (dlo, dhi, d) in spec if dlo < hi and dhi > lo]
-    parts = [_read_ff_shard(os.path.join(d, f"shard={shard}"), cols)
-             for d in dirs
-             if os.path.isdir(os.path.join(d, f"shard={shard}"))]
+    from cantine_spark import fsutil  # noqa: PLC0415
+    shard_dirs = [fsutil.join(d, f"shard={shard}") for d in dirs]
+    parts = [_read_ff_shard(sd, cols) for sd in shard_dirs
+             if fsutil.is_dir(sd)]
     if not parts:
         return np.empty(0, np.int64), {c: np.empty(0, np.float64)
                                        for c in cols}

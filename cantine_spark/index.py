@@ -5,13 +5,13 @@ exist, expose cached collection statistics."""
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass
 from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 
 REQUIRED = {
     "docs": {"doc_id", "uuid", "repo", "path", "commit", "lang",
@@ -41,7 +41,7 @@ class IndexReader:
     index_dir: str
 
     def table(self, name: str) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+        df = self.spark.read.parquet(fsutil.join(self.index_dir, name))
         missing = REQUIRED[name] - set(df.columns)
         if missing:
             raise SchemaMismatch(f"{name} missing columns {sorted(missing)}")
@@ -55,7 +55,7 @@ class IndexReader:
         """Filesystem locations of the doc-store parquet — the executor's
         driver-side point-lookup path (the reference's resident doc store,
         readerwriter.rs:61-66) reads these directly with pyarrow."""
-        return [os.path.join(self.index_dir, "docs")]
+        return [fsutil.join(self.index_dir, "docs")]
 
     def term_stats_dirs(self) -> list[str]:
         """Locations of the bucket-partitioned term dictionary — the
@@ -63,7 +63,7 @@ class IndexReader:
         FST analog) point-reads bucket=K subdirs with pyarrow. Rows for
         one (field, term) across the listed dirs SUM (a tiered reader
         exposes one dir per tier; integer df sums are exact)."""
-        return [os.path.join(self.index_dir, "term_stats")]
+        return [fsutil.join(self.index_dir, "term_stats")]
 
     @cached_property
     def docmeta(self) -> DataFrame:
@@ -94,8 +94,9 @@ class IndexReader:
 
     @cached_property
     def manifest(self) -> dict:
-        with open(os.path.join(self.index_dir, "manifest.json")) as f:
-            return json.load(f)
+        # fsutil: the manifest must load from any index URI (s3://, ...),
+        # not just a posix dir — same routing as the point-read family
+        return fsutil.read_json(fsutil.join(self.index_dir, "manifest.json"))
 
     @property
     def num_docs(self) -> int:
@@ -106,7 +107,7 @@ class IndexReader:
         # graceful on pre-uuid_map indexes: a missing directory must raise a
         # typed SchemaMismatch (not a raw AnalysisException from the parquet
         # reader) so id_for_uuid can fall back to a doc-store scan (ADVICE r2)
-        if not os.path.isdir(os.path.join(self.index_dir, "uuid_map")):
+        if not fsutil.is_dir(fsutil.join(self.index_dir, "uuid_map")):
             raise SchemaMismatch(
                 "index predates uuid_map (no uuid_map/ directory); rebuild "
                 "for O(1) cursor resolution")
@@ -116,15 +117,14 @@ class IndexReader:
     def has_segments(self) -> bool:
         """True when the compressed block-max segment table (format v2, with
         in-block positions) is present — the engine's default query path."""
-        meta = os.path.join(self.index_dir, "segments", "_SEGMENTS_META.json")
-        if not os.path.exists(meta):
+        meta = fsutil.join(self.index_dir, "segments", "_SEGMENTS_META.json")
+        if not fsutil.exists(meta):
             return False
-        with open(meta) as f:
-            return json.load(f).get("format", 1) >= 2
+        return fsutil.read_json(meta).get("format", 1) >= 2
 
     @cached_property
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        return self.spark.read.parquet(fsutil.join(self.index_dir, "segments"))
 
     # ---- segment-path providers. FastTopK consumes the index through these
     #      four methods (never through raw paths), so a reader that spans
@@ -138,10 +138,10 @@ class IndexReader:
     def segments_df(self, spark: SparkSession) -> DataFrame:
         """Segments table read through the GIVEN session (FastTopK queries on
         a conf-isolated clone of the reader's session)."""
-        return spark.read.parquet(os.path.join(self.index_dir, "segments"))
+        return spark.read.parquet(fsutil.join(self.index_dir, "segments"))
 
     def docmeta_df(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
+        return spark.read.parquet(fsutil.join(self.index_dir, "docmeta"))
 
     def fastfields_spec(self) -> dict | None:
         """Fast-field sidecar descriptor: {shard_span, columns, locations}.
@@ -155,7 +155,7 @@ class IndexReader:
             return None
         return {"shard_span": int(m["shard_span"]),
                 "columns": list(m["columns"]),
-                "locations": os.path.join(self.index_dir, "fastfields")}
+                "locations": fsutil.join(self.index_dir, "fastfields")}
 
     def champions_spec(self) -> dict | None:
         """Per-term champion sidecar descriptor {shard_span, cap}
@@ -169,7 +169,7 @@ class IndexReader:
         return {"shard_span": int(m["shard_span"]), "cap": int(m["cap"])}
 
     def champions_df(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "champions"))
+        return spark.read.parquet(fsutil.join(self.index_dir, "champions"))
 
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
@@ -185,7 +185,7 @@ class IndexReader:
     def uuid_map_dirs(self) -> list[str]:
         """Locations of the hash-bucketed uuid→doc_id side table for the
         driver-side cursor resolve (one ubucket=K point read per lookup)."""
-        return [os.path.join(self.index_dir, "uuid_map")]
+        return [fsutil.join(self.index_dir, "uuid_map")]
 
     def id_for_uuid(self, uuid: str) -> int | None:
         """uuid → doc_id via the hash-bucketed uuid_map side table — the
@@ -222,23 +222,28 @@ class IndexReader:
         return int(rows[0]["doc_id"])
 
     def _id_for_uuid_driver(self, uuid: str) -> int | None:
-        import glob as _glob
-
+        import pyarrow as pa
         import pyarrow.dataset as pads
 
         from cantine_spark.functions.xxhash import spark_xxhash64_strings
         n_buckets = int(self.manifest.get("n_buckets", 64))
         b = spark_xxhash64_strings(uuid) % n_buckets
-        files = []
+        # pyarrow.fs routing (fsutil): the same point read works on any
+        # index URI — posix, file://, s3://, hdfs:// (VERDICT r5 #2)
+        parts = []
         for d in self.uuid_map_dirs():
-            if not os.path.isdir(d):
+            if not fsutil.is_dir(d):
                 raise FileNotFoundError(d)
-            files.extend(sorted(_glob.glob(
-                os.path.join(d, f"ubucket={b}", "*.parquet"))))
-        if not files:
+            files = fsutil.list_parquet(fsutil.join(d, f"ubucket={b}"))
+            if not files:
+                continue  # empty bucket in this dir
+            parts.append(pads.dataset(
+                [p for _, p in files], format="parquet",
+                filesystem=files[0][0]).to_table(
+                columns=["uuid", "doc_id"], filter=pads.field("uuid") == uuid))
+        if not parts:
             return None  # empty bucket → uuid unseen
-        tbl = pads.dataset(files, format="parquet").to_table(
-            columns=["uuid", "doc_id"], filter=pads.field("uuid") == uuid)
+        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
         if tbl.num_rows == 0:
             return None
         if tbl.num_rows > 1:

@@ -33,14 +33,13 @@ corpus size.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
+from cantine_spark import fsutil
 from cantine_spark.api import SearchEngine, SearchResult
 from cantine_spark.index import IndexReader
 from cantine_spark.streaming.incremental import StreamingIndexer
@@ -68,21 +67,18 @@ class IndexServer:
 
     def _load_tiers(self) -> dict:
         try:
-            with open(self._tiers_path) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
+            return fsutil.read_json(self._tiers_path)
+        except Exception:  # noqa: BLE001 — absent/unreadable on any fs
             return {"span": None, "counter": 0, "tiers": [], "trash": []}
 
     def _save_tiers(self, st: dict) -> None:
-        with open(self._tiers_path, "w") as f:
-            json.dump(st, f, indent=2)
+        fsutil.write_json(self._tiers_path, st)
 
     def _gens(self) -> list[dict]:
-        p = os.path.join(self.index_root, "generations.json")
+        p = fsutil.join(self.index_root, "generations.json")
         try:
-            with open(p) as f:
-                return json.load(f)["generations"]
-        except (OSError, json.JSONDecodeError, KeyError):
+            return fsutil.read_json(p)["generations"]
+        except Exception:  # noqa: BLE001 — absent/unreadable on any fs
             return []
 
     def _abs(self, d: str) -> str:
@@ -96,12 +92,10 @@ class IndexServer:
         by_epoch = {g["epoch"]: g for g in gens}
         for t in st["tiers"]:
             d = self._abs(t["dir"])
-            if not os.path.exists(os.path.join(d, "manifest.json")):
-                return False
             try:
-                with open(os.path.join(d, "manifest.json")) as f:
-                    covered = json.load(f)["generations"]
-            except (OSError, json.JSONDecodeError, KeyError):
+                covered = fsutil.read_json(
+                    fsutil.join(d, "manifest.json"))["generations"]
+            except Exception:  # noqa: BLE001 — missing manifest → invalid
                 return False
             for g in covered:
                 cur = by_epoch.get(g["epoch"])
@@ -157,14 +151,16 @@ class IndexServer:
         # current and the just-closed engine → safe to delete (ADVICE r4:
         # a long-lived server must not duplicate the index per refresh)
         for d in st["trash"]:
-            shutil.rmtree(self._abs(d), ignore_errors=True)
+            try:
+                fsutil.delete_dir(self._abs(d))
+            except Exception:  # noqa: BLE001 — GC is best-effort
+                pass
         st["trash"] = superseded
         self._save_tiers(st)
         return True
 
     def _tier_entry(self, name: str) -> dict:
-        with open(os.path.join(self._abs(name), "manifest.json")) as f:
-            m = json.load(f)
+        m = fsutil.read_json(fsutil.join(self._abs(name), "manifest.json"))
         return {"dir": name, "n_docs": int(m["n_docs"]),
                 "epochs": [g["epoch"] for g in m["generations"]],
                 "doc_id_range": m["doc_id_range"],
@@ -187,9 +183,8 @@ class IndexServer:
             merging_all = len(tiers) == 2
             covered = []
             for t in (a, b):
-                with open(os.path.join(self._abs(t["dir"]),
-                                       "manifest.json")) as f:
-                    covered.extend(json.load(f)["generations"])
+                covered.extend(fsutil.read_json(fsutil.join(
+                    self._abs(t["dir"]), "manifest.json"))["generations"])
             name = f"tier_{st['counter']:06d}"
             st["counter"] += 1
             self._indexer.compact_dirs(

@@ -17,13 +17,14 @@ dir is only registered once).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 
 from cantine_spark.build.builder import IndexBuilder
 from cantine_spark.build.merge import merge_segments
@@ -40,15 +41,13 @@ class StreamingIndexer:
         return os.path.join(self.index_root, "generations.json")
 
     def _load_state(self) -> dict:
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                return json.load(f)
+        if fsutil.exists(self._state_path):
+            return fsutil.read_json(self._state_path)
         return {"generations": [], "next_doc_id": 0}
 
     def _save_state(self, state: dict) -> None:
-        os.makedirs(self.index_root, exist_ok=True)
-        with open(self._state_path, "w") as f:
-            json.dump(state, f, indent=2)
+        fsutil.ensure_dir(self.index_root)
+        fsutil.write_json(self._state_path, state)
 
     # ------------------------------------------------------------- ingest
     def commit_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -208,6 +207,5 @@ class StreamingIndexer:
                     "doc_id_range": doc_range,
                     "generations": covered,
                     "built_at": time.time()}
-        with open(os.path.join(out, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
+        fsutil.write_json(os.path.join(out, "manifest.json"), manifest)
         return out

@@ -36,11 +36,12 @@ Why the union is exact (bit-identical to full compaction):
 from __future__ import annotations
 
 import functools
-import os
 from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from cantine_spark import fsutil
 
 from cantine_spark.build.segments import load_fastfields_meta, load_segments_meta
 from cantine_spark.index import REQUIRED, IndexReader, SchemaMismatch
@@ -86,9 +87,7 @@ class TieredIndexReader(IndexReader):
         self._n_buckets = buckets.pop()
 
     def _tier_manifest(self, d: str) -> dict:
-        import json
-        with open(os.path.join(d, "manifest.json")) as f:
-            return json.load(f)
+        return fsutil.read_json(fsutil.join(d, "manifest.json"))
 
     def _tier_range(self, d: str) -> tuple[int, int]:
         """[doc_lo, doc_hi) for a tier — from its manifest (compact() records
@@ -103,14 +102,14 @@ class TieredIndexReader(IndexReader):
             lo = min(int(g["first_doc_id"]) for g in gens)
             hi = max(int(g["first_doc_id"]) + int(g["n_docs"]) for g in gens)
             return lo, hi
-        row = (self.spark.read.parquet(os.path.join(d, "docmeta"))
+        row = (self.spark.read.parquet(fsutil.join(d, "docmeta"))
                .agg(F.min("doc_id"), F.max("doc_id")).collect()[0])
         return int(row[0]), int(row[1]) + 1
 
     # --------------------------------------------------------------- tables
     def _union(self, name: str, spark: SparkSession | None = None) -> DataFrame:
         s = spark or self.spark
-        frames = [s.read.parquet(os.path.join(d, name))
+        frames = [s.read.parquet(fsutil.join(d, name))
                   for d in self.tier_dirs]
         return functools.reduce(lambda a, b: a.unionByName(b), frames)
 
@@ -132,7 +131,7 @@ class TieredIndexReader(IndexReader):
     @cached_property
     def uuid_map(self) -> DataFrame:
         for d in self.tier_dirs:
-            if not os.path.isdir(os.path.join(d, "uuid_map")):
+            if not fsutil.is_dir(fsutil.join(d, "uuid_map")):
                 raise SchemaMismatch(f"tier {d} predates uuid_map")
         return self.table("uuid_map")
 
@@ -142,7 +141,7 @@ class TieredIndexReader(IndexReader):
         out = []
         for d in self.tier_dirs:
             rows = self.spark.read.parquet(
-                os.path.join(d, "index_stats")).collect()
+                fsutil.join(d, "index_stats")).collect()
             out.append({r["field"]: {"n_docs": int(r["n_docs"]),
                                      "total_len": int(r["total_len"]),
                                      "avgdl": float(r["avgdl"])}
@@ -178,7 +177,7 @@ class TieredIndexReader(IndexReader):
     @property
     def has_segments(self) -> bool:
         return all(
-            os.path.exists(os.path.join(d, "segments", "_SEGMENTS_META.json"))
+            fsutil.exists(fsutil.join(d, "segments", "_SEGMENTS_META.json"))
             for d in self.tier_dirs)
 
     # ------------------------------------------------- segment-path providers
@@ -196,7 +195,7 @@ class TieredIndexReader(IndexReader):
         g = self.stats
         frames = []
         for d, ts in zip(self.tier_dirs, self.tier_stats):
-            df = spark.read.parquet(os.path.join(d, "segments"))
+            df = spark.read.parquet(fsutil.join(d, "segments"))
             factors = {fld: max(1.0, g[fld]["avgdl"] / s["avgdl"])
                        for fld, s in ts.items() if s["avgdl"] > 0}
             if any(f > 1.0 for f in factors.values()):
@@ -215,18 +214,18 @@ class TieredIndexReader(IndexReader):
         return self._union("docmeta", spark)
 
     def doc_store_dirs(self) -> list[str]:
-        return [os.path.join(d, "docs") for d in self.tier_dirs]
+        return [fsutil.join(d, "docs") for d in self.tier_dirs]
 
     def term_stats_dirs(self) -> list[str]:
         # one dir per tier — the executor's driver-side df lookup sums the
         # per-tier rows, matching this class's term_stats groupBy-SUM
-        return [os.path.join(d, "term_stats") for d in self.tier_dirs]
+        return [fsutil.join(d, "term_stats") for d in self.tier_dirs]
 
     def uuid_map_dirs(self) -> list[str]:
         # a uuid lives in exactly one tier (disjoint doc ranges + per-build
         # uniqueness gate); reading every tier's bucket preserves the
         # duplicate-uuid invariant check across tiers
-        return [os.path.join(d, "uuid_map") for d in self.tier_dirs]
+        return [fsutil.join(d, "uuid_map") for d in self.tier_dirs]
 
     def fastfields_spec(self) -> dict | None:
         metas = [load_fastfields_meta(d) for d in self.tier_dirs]
@@ -239,7 +238,7 @@ class TieredIndexReader(IndexReader):
         for m in metas[1:]:
             cols &= set(m["columns"])
         return {"shard_span": self._span, "columns": sorted(cols),
-                "locations": [(lo, hi, os.path.join(d, "fastfields"))
+                "locations": [(lo, hi, fsutil.join(d, "fastfields"))
                               for (lo, hi), d in zip(self._ranges,
                                                      self.tier_dirs)]}
 
