@@ -133,11 +133,14 @@ def tree_has_phrase(node: QueryNode) -> bool:
 def segment_eligible(node: QueryNode) -> bool:
     """True if the tree can run entirely in the segment kernel. All() cannot
     (zero-token docs never appear in segments), so pure-negative and
-    match-all queries stay on the relational path."""
+    match-all queries stay on the relational path. Negative Boost factors
+    (reachable only through the custom-scorer hook) would flip the kernel's
+    monotone upper bounds into lower bounds and prune wrongly — they take
+    the relational path, which evaluates boosts exactly."""
     if isinstance(node, (Term, Phrase)):
         return True
     if isinstance(node, Boost):
-        return segment_eligible(node.child)
+        return node.factor >= 0 and segment_eligible(node.child)
     if isinstance(node, DisMax):
         return all(segment_eligible(c) for c in node.children)
     if isinstance(node, Boolean):
@@ -368,10 +371,13 @@ class _ShardEval:
             return out
         return self.scores(node, C)
 
-    def champ_tail_bounds(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
-        """Per-doc score upper bounds for NON-HEAD docs D from champion tail
-        maxima — same monotone tree combiners as bounds(). Only valid when
-        no doc of D is a head of any leaf (the kernel passes D = C \\ seed)."""
+    def champ_ub(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
+        """Per-doc score UPPER bounds for docs D, decode-free: a Term leaf
+        contributes the doc's EXACT champion-head tfnorm when the doc is a
+        head of that leaf, else min(tail bound, its block's max tfnorm) —
+        the per-LEAF min is then combined through the monotone tree, which
+        is tighter than (≤) the tree-level min of the r5 tail-only and
+        block-only bounds. Valid for any D (heads included)."""
         if isinstance(node, Term):
             ft = (node.field, node.text)
             td = self.term(ft)
@@ -381,15 +387,26 @@ class _ShardEval:
             pos = np.searchsorted(td.docs, D)
             pos_c = np.clip(pos, 0, len(td.docs) - 1)
             present = td.docs[pos_c] == D
+            if not present.any():
+                return out
+            sel = pos_c[present]
             ch = self.champ(ft)
-            tail = ch[2] if ch is not None else np.inf
-            out[present] = self.idfs[ft] * tail
+            if ch is None:
+                out[present] = self.idfs[ft] * td.tfn_ub[sel]
+                return out
+            cdocs, ctfn, tail = ch
+            hit = D[present]
+            cpos = np.searchsorted(cdocs, hit)
+            cclip = np.clip(cpos, 0, max(len(cdocs) - 1, 0))
+            in_head = cdocs[cclip] == hit
+            vals = np.minimum(tail, td.tfn_ub[sel])
+            vals[in_head] = ctfn[cclip[in_head]]
+            out[present] = self.idfs[ft] * vals
             return out
         if isinstance(node, Boost):
-            return self.champ_tail_bounds(node.child, D) * node.factor
+            return self.champ_ub(node.child, D) * node.factor
         if isinstance(node, DisMax):
-            kid = np.stack([self.champ_tail_bounds(c, D)
-                            for c in node.children])
+            kid = np.stack([self.champ_ub(c, D) for c in node.children])
             mx = kid.max(axis=0)
             sm = kid.sum(axis=0)
             return mx + (sm - mx) * node.tiebreaker
@@ -397,11 +414,47 @@ class _ShardEval:
             out = np.zeros(len(D), dtype=np.float64)
             for m in node.musts:
                 if not isinstance(m, All):
-                    out += self.champ_tail_bounds(m, D)
+                    out += self.champ_ub(m, D)
             for s in node.shoulds:
-                out += self.champ_tail_bounds(s, D)
+                out += self.champ_ub(s, D)
             return out
         return np.full(len(D), np.inf)
+
+    def champ_lb(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
+        """Per-doc score LOWER bounds for docs D, decode-free: a Term leaf
+        contributes the doc's EXACT champion-head tfnorm when the doc is a
+        head, else 0 (a match contributes ≥ 0; absence contributes exactly
+        0 — both dominated). Combined through the same monotone tree as
+        scores(), so lb(d) ≤ score(d) pointwise. Requires non-negative
+        Boost factors (enforced by champ_tree_ok)."""
+        if isinstance(node, Term):
+            ft = (node.field, node.text)
+            out = np.zeros(len(D), dtype=np.float64)
+            ch = self.champ(ft)
+            if ch is None:
+                return out
+            cdocs, ctfn, _tail = ch
+            cpos = np.searchsorted(cdocs, D)
+            cclip = np.clip(cpos, 0, max(len(cdocs) - 1, 0))
+            in_head = cdocs[cclip] == D
+            out[in_head] = self.idfs[ft] * ctfn[cclip[in_head]]
+            return out
+        if isinstance(node, Boost):
+            return self.champ_lb(node.child, D) * node.factor
+        if isinstance(node, DisMax):
+            kid = np.stack([self.champ_lb(c, D) for c in node.children])
+            mx = kid.max(axis=0)
+            sm = kid.sum(axis=0)
+            return mx + (sm - mx) * node.tiebreaker
+        if isinstance(node, Boolean):
+            out = np.zeros(len(D), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    out += self.champ_lb(m, D)
+            for s in node.shoulds:
+                out += self.champ_lb(s, D)
+            return out
+        return np.zeros(len(D), dtype=np.float64)
 
     # ---------------------------------------------------------- candidates
     def candidates(self, node: QueryNode) -> np.ndarray:
@@ -1015,28 +1068,42 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 docs, scores = _topk_f32(C, sc, k)
                 return frame(docs, scores, scores, total)
             if champs is not None and ev.champ_ok(node):
-                # champion-seeded selection: the seed is the TRUE per-term
-                # top-C by impact (scored from stored tf/dl — no block
-                # decode), so θ is near-final after one pass; non-head docs
-                # are pruned by the per-doc tail bound ∧ block bound.
-                # Lossless by the monotone-f32 argument: any pruned doc's
-                # score s ≤ ub ⟹ f32(s) ≤ f32(ub) < θ — strictly below,
-                # so neither the top-k set nor any tie-break can change.
+                # champion-seeded selection, two-phase (r6): the raw seed
+                # is the UNION of per-leaf head docs — on a multi-leaf tree
+                # a doc that heads one leaf usually isn't a head of the
+                # others, so exact-scoring the whole union decodes most
+                # blocks (the r5 q_dismax_fielded 92-98% hole: a df≈N flat
+                # leaf contributes C arbitrary heads that must be scored in
+                # every other leaf). Phase 1 therefore prunes the SEED
+                # itself, decode-free: θ_lo = k-th largest per-doc LOWER
+                # bound (champ_lb: exact head contributions, 0 elsewhere),
+                # and only seed docs whose UPPER bound (champ_ub: exact
+                # where head, min(tail, block max) elsewhere) reaches θ_lo
+                # are exact-scored. Phase 2 prunes non-seed docs against
+                # the now-exact θ with the same per-leaf-min upper bound.
+                # Lossless by the monotone-f32 argument: lb ≤ score ≤ ub
+                # pointwise and f32 cast is monotone, so any pruned doc's
+                # f32 score is strictly below the k kept docs' — neither
+                # the top-k set nor any doc_id tie-break can change
+                # (differential-tested vs the unseeded kernel).
                 E = np.intersect1d(ev.champ_seed(node), C,
                                    assume_unique=True)
                 if len(E) >= k:
-                    es = ev.scores_seeded(node, E)
-                    _d1, s1 = _topk_f32(E, es, k)
+                    lb32 = ev.champ_lb(node, E).astype(np.float32)
+                    theta_lo = np.partition(lb32, -k)[-k]
+                    ubE = ev.champ_ub(node, E)
+                    E2 = E[ubE.astype(np.float32) >= theta_lo]
+                    es = ev.scores_seeded(node, E2)
+                    _d1, s1 = _topk_f32(E2, es, k)
                     theta32 = np.float32(s1[-1])
                     rest = np.setdiff1d(C, E, assume_unique=True)
-                    docs, scores = E, es
+                    docs, scores = E2, es
                     if len(rest):
-                        ub = np.minimum(ev.champ_tail_bounds(node, rest),
-                                        ev.bounds(node, rest))
+                        ub = ev.champ_ub(node, rest)
                         surv = rest[ub.astype(np.float32) >= theta32]
                         if len(surv):
                             sc2 = ev.scores_seeded(node, surv)
-                            docs = np.concatenate([E, surv])
+                            docs = np.concatenate([E2, surv])
                             scores = np.concatenate([es, sc2])
                     docs, scores = _topk_f32(docs, scores, k)
                     return frame(docs, scores, scores, total)
@@ -1175,11 +1242,15 @@ def champ_tree_ok(node: QueryNode) -> bool:
     Term/Boost/DisMax/Boolean trees (Phrase has no champion analog; All
     appears only in pure-negative trees, which score nothing). The
     per-shard data check (every scoring leaf has rows) happens in-kernel
-    (_ShardEval.champ_ok) with a lossless per-shard fallback."""
+    (_ShardEval.champ_ok) with a lossless per-shard fallback. Negative
+    Boost factors are excluded: multiplying a lower bound by a negative
+    factor would flip it into an upper bound (champ_lb), so such trees
+    (only reachable through the custom-scorer hook) take the generic
+    kernel path."""
     if isinstance(node, Term):
         return True
     if isinstance(node, Boost):
-        return champ_tree_ok(node.child)
+        return node.factor >= 0 and champ_tree_ok(node.child)
     if isinstance(node, DisMax):
         return all(champ_tree_ok(c) for c in node.children)
     if isinstance(node, Boolean):

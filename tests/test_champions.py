@@ -224,3 +224,69 @@ def test_stale_span_disables_champions(spark, champ_idx):
     finally:
         with open(meta_p, "w") as f:
             f.write(orig)
+
+
+# ---- r6: two-phase seed pruning (the q_dismax_fielded hole) ----
+
+# the production fielded-DisMax shape: a df≈N flat leaf (path:src matches
+# every doc) plus two hot 2-field DisMax expansions — exactly what
+# "path:src def return" parses to
+FIELDED = Boolean(shoulds=(
+    Boost(Term("path", "src"), 1.15),
+    DisMax((Boost(Term("content", "def"), 1.0),
+            Boost(Term("path", "def"), 1.15)), 0.1),
+    DisMax((Boost(Term("content", "return"), 1.0),
+            Boost(Term("path", "return"), 1.15)), 0.1),
+))
+
+
+def test_fielded_dismax_seed_pruning_lossless_and_tight(champ_fast):
+    """r5's residual scale-killer: the union seed (heads of EVERY leaf)
+    forced exact scoring of ~C arbitrary docs per flat leaf, decoding
+    92-98% of blocks. The r6 two-phase kernel prunes the seed itself with
+    decode-free lower/upper bounds; results stay bit-equal to the
+    unseeded block path and the scored fraction drops BELOW HALF (the
+    VERDICT r5 'done' bar is < 0.5 at 800k; this is the same shape at
+    module scale)."""
+    a = champ_fast.search(FIELDED, k=K, seed_min=8)
+    b = champ_fast.search(FIELDED, k=K, seed_min=10_000,
+                          use_champions=False)
+    _same(a, b)
+    frac = a.blocks_scored / max(a.blocks_total, 1)
+    assert frac < 0.5, (
+        f"fielded DisMax still decodes {a.blocks_scored}/{a.blocks_total}"
+        f" = {frac:.1%} of blocks")
+
+
+@pytest.mark.parametrize("k", [1, 3, 25])
+def test_fielded_dismax_equality_across_k(champ_fast, k):
+    a = champ_fast.search(FIELDED, k=k, seed_min=8)
+    b = champ_fast.search(FIELDED, k=k, seed_min=10_000,
+                          use_champions=False)
+    _same(a, b)
+
+
+def test_negative_boost_trees_stay_off_the_kernel():
+    """A negative Boost factor flips monotone upper bounds into lower
+    bounds — both champion and generic kernel pruning would be wrong.
+    Such trees (custom-scorer hook only) must be rejected by the
+    eligibility gates and fall to the relational path."""
+    from cantine_spark.execution.wand import champ_tree_ok, segment_eligible
+    neg = Boost(Term("content", "def"), -1.0)
+    assert not segment_eligible(neg)
+    assert not champ_tree_ok(neg)
+    assert not segment_eligible(Boolean(shoulds=(neg, HOT)))
+    assert segment_eligible(Boost(Term("content", "def"), 0.5))
+
+
+def test_negative_boost_scored_exactly_on_relational_path(reader):
+    """End-to-end: a negative-boost tree through search_node returns the
+    exact relational scores (lowest-scoring docs first under -1.0)."""
+    from cantine_spark.api import SearchEngine
+    eng = SearchEngine(reader)
+    neg = Boost(Term("content", "def"), -1.0)
+    res = eng.search_node(neg, k=5)
+    pos = eng.search_node(Term("content", "def"), k=max(res.total, 5))
+    assert res.total == pos.total
+    worst = sorted(pos.hits, key=lambda h: (-h[1], -h[0]))[-5:]
+    assert {d for d, _ in res.hits} == {d for d, _ in worst}
