@@ -50,34 +50,45 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def train_centroids(emb: DataFrame, nlist: int = 16, dim: int = 64,
                     iters: int = 3, vec_col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
-    """Deterministic Lloyd iterations: seeded init, assignment distributed
-    (one pandas-UDF matmul pass per iter), centroid update on the driver
-    from per-cluster sums (bounded: nlist × dim doubles).
+                    id_col: str = "vec_id", seed: int = 42,
+                    sample_size: int | None = None,
+                    sample_per_centroid: int = 39) -> np.ndarray:
+    """Deterministic sample-trained Lloyd (the Faiss contract: IVF
+    centroids train on a bounded sample, never the full corpus).
 
-    The init sample is orderBy(id).limit(n): a bare .limit() is
-    partition-arrival-dependent, so 'seeded deterministic' would not hold
-    across cluster layouts."""
+    Sample: `sample_size` vectors (default max(sample_per_centroid·nlist,
+    256) — Faiss's min_points_per_centroid=39 rule-of-thumb), drawn in ONE
+    corpus pass as TakeOrdered on xxhash64(id, seed): a uniform,
+    layout-independent pseudo-random subset with O(sample) driver memory
+    (a bare .limit() is partition-arrival-dependent; ordering by raw id —
+    the r5 shape — sampled only the oldest corner of the corpus). Lloyd
+    then iterates ON THE SAMPLE driver-side (sample × dim × nlist flops,
+    micro for any serving nlist), so training costs one corpus pass at
+    100 TB instead of `iters` full assignment scans; the single
+    full-corpus pass happens at assign/write time (assign_centroids →
+    write_ivf_index). Assignment metric matches assign_centroids (argmax
+    cosine), update is the cell mean."""
+    n = sample_size or max(sample_per_centroid * nlist, 256)
     rng = np.random.default_rng(seed)
     sample = np.array(
-        emb.select(id_col, vec_col).orderBy(id_col)
-           .limit(max(nlist * 8, 256)).toPandas()[vec_col].tolist(),
+        emb.select(id_col, vec_col)
+           .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+           .limit(n).toPandas()[vec_col].tolist(),
         dtype=np.float64)
-    cents = sample[rng.choice(len(sample), nlist, replace=False)]
+    if len(sample) < nlist:
+        raise ValueError(
+            f"cannot train {nlist} centroids from {len(sample)} vectors")
+    cents = sample[rng.choice(len(sample), nlist, replace=False)].copy()
+    sn = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        assigned = assign_centroids(emb, cents, vec_col=vec_col)
-        sums = (assigned
-                .select("centroid", F.col(vec_col).alias("v"))
-                .groupBy("centroid")
-                .agg(F.count("*").alias("n"),
-                     F.array(*[F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-                               for i in range(dim)]).alias("vsum"))
-                ).collect()
-        new = cents.copy()
-        for r in sums:
-            c = int(r["centroid"])
-            new[c] = np.array(r["vsum"], dtype=np.float64) / int(r["n"])
-        cents = new
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        a = np.argmax(sn @ cn.T, axis=1)
+        for c in range(nlist):
+            m = a == c
+            if m.any():  # empty cell keeps its centroid (standard Lloyd)
+                cents[c] = sample[m].mean(axis=0)
     return cents
 
 

@@ -115,3 +115,78 @@ def test_centroids_deterministic(emb):
     c1 = train_centroids(emb, nlist=4, dim=DIM, iters=1)
     c2 = train_centroids(emb, nlist=4, dim=DIM, iters=1)
     assert np.array_equal(c1, c2)
+
+
+# ---- r6: sample-trained centroids (VERDICT r5 next-round #4) ----
+
+def test_train_sample_is_hash_uniform_not_id_prefix(spark):
+    """The training sample must be a layout-independent pseudo-random
+    subset, NOT the lowest ids (the r5 shape sampled only the oldest
+    corner of the corpus — a biased sample at any real scale). With a
+    sample smaller than the corpus, the sampled ids must not be the id
+    prefix, and two draws must agree (deterministic)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n, dim = 2000, 8
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist()
+                      for v in rng.normal(size=(n, dim))],
+    })
+    emb = spark.createDataFrame(pdf)
+    sampled = (emb.orderBy(F.xxhash64(F.col("vec_id"), F.lit(42)), "vec_id")
+               .limit(256).select("vec_id").toPandas()["vec_id"])
+    assert sampled.max() > 1500  # spread across the id range, not a prefix
+    c1 = train_centroids(emb, nlist=8, dim=dim, iters=2)
+    c2 = train_centroids(emb, nlist=8, dim=dim, iters=2)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """VERDICT r5 'done' bar: recall vs brute force on a bigger synthetic
+    embedding set. 4000 vectors in 8 planted gaussian clusters; sample-
+    trained Lloyd (39·nlist rule) must separate them well enough that
+    nprobe=4/nlist=8 reaches ≥0.9 mean recall@10 (planted clusters are
+    the easy-but-honest case — what IVF is FOR)."""
+    import pandas as pd
+
+    n, dim, ncl = 4000, 16, 8
+    rng = np.random.default_rng(20260818)
+    means = rng.normal(scale=4.0, size=(ncl, dim))
+    vecs = np.concatenate([
+        means[i] + rng.normal(scale=0.5, size=(n // ncl, dim))
+        for i in range(ncl)])
+    ids = np.arange(n, dtype=np.int64)
+    perm = rng.permutation(n)  # ids uncorrelated with cluster membership
+    vecs = vecs[perm]
+    pdf = pd.DataFrame({"vec_id": ids,
+                        "embedding": [v.astype(np.float32).tolist()
+                                      for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    cents = train_centroids(emb, nlist=ncl, dim=dim, iters=4)
+    assert cents.shape == (ncl, dim)
+    assigned = assign_centroids(emb, cents).cache()
+    qids = [0, 111, 2222, 3999]
+    queries = spark.createDataFrame(
+        [(int(q), [float(x) for x in vecs[q]]) for q in qids],
+        "query_id long, query_vec array<float>")
+    got = ivf_topk(assigned, cents, queries, k=K, nprobe=4).toPandas()
+    m64 = vecs.astype(np.float64)
+    recalls = []
+    for q in qids:
+        exact = set(numpy_topk(ids, m64, m64[q], K))
+        approx = set(got[got["query_id"] == q]["vec_id"].tolist())
+        recalls.append(len(exact & approx) / K)
+    assert np.mean(recalls) >= 0.9, recalls
+    emb.unpersist(); assigned.unpersist()
+
+
+def test_train_rejects_nlist_beyond_corpus(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"vec_id": [0, 1, 2],
+                        "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]})
+    emb = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="cannot train"):
+        train_centroids(emb, nlist=8, dim=2)
