@@ -127,9 +127,18 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, tokens_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+# Default stop-shingle cap for ngram_jaccard_pairs (r6, VERDICT r5 #5): a
+# shingle shared by more docs than this is dropped from CANDIDATE
+# GENERATION by default — one such shingle alone yields >50M candidate
+# pairs, the quadratic blow-up that killed the r4/r5 uncapped default at
+# scale. Explicit max_shingle_df=None restores the fully exact behavior.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+_UNSET = object()
+
+
 def ngram_jaccard_pairs(df: DataFrame, tokens_col: str, shingle_n: int = 3,
                         threshold: float = 0.7, id_col: str = "doc_id",
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = _UNSET) -> DataFrame:
     """Exact n-gram Jaccard near-dup WITHOUT LSH: candidates are every pair
     sharing ≥1 shingle — generated by an inverted-index equi-join on the
     shingle, never an all-pairs product — then exact Jaccard verification.
@@ -142,7 +151,14 @@ def ngram_jaccard_pairs(df: DataFrame, tokens_col: str, shingle_n: int = 3,
     only — verification still uses full shingle sets, so every reported
     jaccard is exact; a true pair is lost only if ALL its shared shingles
     are ubiquitous, which at thresholds ≥0.5 means near-pure boilerplate.
-    Default None = fully exact (small/medium corpora, and the oracle)."""
+
+    The DEFAULT is the finite DEFAULT_MAX_SHINGLE_DF cap (100-TB posture:
+    an operator must not go quadratic unless explicitly asked to). Pass
+    max_shingle_df=None for the fully exact variant (small corpora and
+    the DuckDB oracle entry do) — it warns loudly when a hot shingle
+    makes the candidate set explode."""
+    if max_shingle_df is _UNSET:
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
     sh = df.select(F.col(id_col).alias("doc_id"),
                    F.explode(F.array_distinct(
                        shingles_col(tokens_col, shingle_n))).alias("shingle"))

@@ -854,8 +854,11 @@ def ngram_jaccard(spark, sf_dir) -> DataFrame:
     loss, with a documented stop-shingle df cap as the web-scale knob."""
     from cantine_spark.operators.dedup import ngram_jaccard_pairs
     tok = _tokens(spark, sf_dir)
+    # max_shingle_df=None: the oracle is the fully exact variant — the
+    # finite default cap is the production knob, opted OUT of here
+    # explicitly (VERDICT r5 #5)
     pairs = ngram_jaccard_pairs(tok, "toks", shingle_n=SHINGLE_N,
-                                threshold=0.0)
+                                threshold=0.0, max_shingle_df=None)
     return (pairs.select("a", "b", F.round("jaccard", 5).alias("jaccard"))
             .filter(F.col("jaccard") >= JACCARD_T)
             .orderBy("a", "b"))

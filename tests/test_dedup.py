@@ -230,3 +230,33 @@ def test_simhash_t8_candidates_stay_linear_and_recall_exact(spark):
     found = {(r["a"], r["b"])
              for r in simhash_near_dups(df, max_hamming=8, n_bits=63).collect()}
     assert set(planted) <= found
+
+
+def test_ngram_jaccard_default_cap_is_finite(spark, docs, monkeypatch):
+    """r6 (VERDICT r5 #5): the DEFAULT must not go quadratic on a
+    boilerplate-heavy corpus — a ubiquitous shingle is dropped from
+    candidate generation unless the caller explicitly passes
+    max_shingle_df=None. Pinned by lowering the module default so the
+    tiny fixture corpus crosses it: the default run then produces only
+    capped candidates, while the explicit-None run keeps every pair."""
+    import cantine_spark.operators.dedup as dd
+
+    assert dd.DEFAULT_MAX_SHINGLE_DF is not None  # API contract: finite
+    # boilerplate corpus: every doc shares one hot shingle, two docs are
+    # genuine near-dups through a rare shingle too
+    sents = ["x y z " + s for s in ("a b c d", "a b c e", "p q r s",
+                                    "t u v w", "m n o k")]
+    import pandas as pd
+    bdocs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(sents)),
+        "toks": [s.split() for s in sents]}))
+    monkeypatch.setattr(dd, "DEFAULT_MAX_SHINGLE_DF", 3)
+    capped = {(r["a"], r["b"]) for r in
+              dd.ngram_jaccard_pairs(bdocs, "toks", threshold=0.1).collect()}
+    exact = {(r["a"], r["b"]) for r in
+             dd.ngram_jaccard_pairs(bdocs, "toks", threshold=0.1,
+                                    max_shingle_df=None).collect()}
+    # the hot "x y z" shingle family is in all 5 docs (> cap 3): default
+    # candidates come only from the rarer shingles; exact keeps them all
+    assert capped < exact
+    assert (0, 1) in capped  # true near-dups survive via their rare shingle
