@@ -508,9 +508,21 @@ class _ShardEval:
             out = (np.empty(0, np.int64), np.empty(0, np.int64))
             self._phrases[node] = out
             return out
+        # r6: rarest-first zipper with alive-doc shrinkage. Constituent
+        # terms process in ascending shard-local posting-count order
+        # (keeping each term's original phrase offset i), and after every
+        # term the candidate set shrinks to docs still holding a start —
+        # later (hotter) terms then decode tf/positions only for the
+        # survivors, not the whole intersection. For 3+-term phrases with
+        # early adjacency failure this skips most hot-term block decodes;
+        # a 2-term phrase decodes both terms' candidate blocks either way
+        # (measured record: docs/phrase_preintersection.md). The packed
+        # key is (alive_idx << 32 | position); shrinking remaps indices.
+        order = sorted(range(len(fts)), key=lambda j: len(self.term(fts[j]).docs))
+        alive = inter
         starts = None
-        for i, ft in enumerate(fts):
-            keys = self._position_keys(ft, inter)
+        for i in order:
+            keys = self._position_keys(fts[i], alive)
             if i:
                 # only positions >= i can start-align; subtracting i from a
                 # smaller position would borrow into the doc-index bits of
@@ -522,13 +534,22 @@ class _ShardEval:
                 starts, adj, assume_unique=True)
             if len(starts) == 0:
                 break
+            doc_idx = (starts >> np.int64(32)).astype(np.int64)
+            keep = np.unique(doc_idx)
+            if len(keep) < len(alive):
+                # remap doc indices into the shrunk alive array (keep is
+                # sorted, doc_idx values all appear in it)
+                new_idx = np.searchsorted(keep, doc_idx)
+                starts = (new_idx << np.int64(32)) | (
+                    starts & np.int64(0xFFFFFFFF))
+                alive = alive[keep]
         if starts is None or len(starts) == 0:
             out = (np.empty(0, np.int64), np.empty(0, np.int64))
         else:
             ptf = np.bincount((starts >> np.int64(32)).astype(np.int64),
-                              minlength=len(inter))
+                              minlength=len(alive))
             mask = ptf > 0
-            out = (inter[mask], ptf[mask])
+            out = (alive[mask], ptf[mask])
         self._phrases[node] = out
         return out
 

@@ -498,3 +498,39 @@ def test_randomized_differential_kernel_vs_relational(reader, executor):
             assert_same(
                 (a.total_found, [(it["doc_id"], it["score"]) for it in a.items]),
                 (b.total_found, [(it["doc_id"], it["score"]) for it in b.items]))
+
+
+def test_phrase_rarest_first_zipper_shrinks_decode(spark, tmp_path_factory):
+    """r6 (VERDICT r5 #6): the phrase zipper processes constituent terms
+    rarest-first and shrinks the candidate set between terms, so a later
+    term decodes tf/positions only for docs still holding a start. Three
+    equal-coverage terms, adjacency true only in a clustered dozen docs:
+    the old kernel decoded every candidate block of all three terms
+    (scored == total); the shrunk zipper leaves the last term's
+    non-survivor blocks undecoded — with exact totals and matches."""
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.build.segments import build_segments
+    from cantine_spark.corpus import with_doc_ids
+    from cantine_spark.index import IndexReader
+    from cantine_spark.plans.nodes import Phrase
+
+    d = str(tmp_path_factory.mktemp("phrase_idx"))
+    n, n_match = 1200, 12
+    rows = []
+    for i in range(n):
+        body = ("alpha beta gamma end" if i < n_match
+                else "alpha x beta y gamma z")
+        rows.append(("r", f"f{i}.py", "c0", "py", f"{body} filler{i}"))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    build_index(spark, with_doc_ids(corpus), d)
+    build_segments(spark, d, shard_span=300)
+    fast = FastTopK(IndexReader(spark, d))
+    node = Phrase("content", ("alpha", "beta", "gamma"))
+    res = fast.search(node, k=5)
+    assert res.total == n_match
+    assert len(res.hits) == 5
+    assert res.blocks_scored < res.blocks_total, (
+        f"phrase zipper decoded every block "
+        f"({res.blocks_scored}/{res.blocks_total})")
