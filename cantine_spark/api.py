@@ -374,7 +374,15 @@ class SearchEngine:
         return KernelResult(total=total, visited=total, hits=hits)
 
     # ---------------------------------------------------------------- search
-    def search(self, query: SearchQuery | dict) -> SearchResult:
+    def search(self, query: SearchQuery | dict,
+               explain: bool = False) -> SearchResult:
+        """explain=True attaches an `explanation` dict to every returned
+        item — the tantivy Explanation analog (tique/src/dismax.rs:308-358):
+        a tree of per-leaf BM25 contributions (idf/tf/dl/tfnorm, boosts,
+        DisMax combine) whose root value casts f32-equal to the item's
+        score. Computed driver-side for the ≤255 winners only (bucket-
+        pruned postings point reads — no extra Spark job on the serving
+        path; see explain.py)."""
         if isinstance(query, dict):
             query = SearchQuery.from_dict(query, features=self.features)
         else:
@@ -382,7 +390,14 @@ class SearchEngine:
         k = query.num_items or DEFAULT_ITEMS
         node, preds = self.interpret(query)
         after = self._decode_after(query)
-        return self._search_resolved(query, k, node, preds, after)
+        res = self._search_resolved(query, k, node, preds, after)
+        if explain and res.items:
+            from cantine_spark.explain import explain_hits
+            ex = explain_hits(self.reader, self.executor, node,
+                              [it["doc_id"] for it in res.items])
+            for it in res.items:
+                it["explanation"] = ex[it["doc_id"]]
+        return res
 
     def _search_resolved(self, query: SearchQuery, k: int, node: QueryNode,
                          preds: list, after: tuple | None) -> SearchResult:

@@ -57,6 +57,12 @@ class IndexReader:
         readerwriter.rs:61-66) reads these directly with pyarrow."""
         return [fsutil.join(self.index_dir, "docs")]
 
+    def postings_dirs(self) -> list[str]:
+        """Locations of the bucket-partitioned postings table — the
+        explanation surface (explain.py) point-reads the query terms'
+        bucket=K subdirs for the ≤255 returned winners."""
+        return [fsutil.join(self.index_dir, "postings")]
+
     def term_stats_dirs(self) -> list[str]:
         """Locations of the bucket-partitioned term dictionary — the
         executor's driver-side df lookup (tantivy's in-memory term dict /

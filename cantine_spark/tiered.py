@@ -221,6 +221,11 @@ class TieredIndexReader(IndexReader):
         # per-tier rows, matching this class's term_stats groupBy-SUM
         return [fsutil.join(d, "term_stats") for d in self.tier_dirs]
 
+    def postings_dirs(self) -> list[str]:
+        # a doc lives in exactly one tier (disjoint ranges), so the
+        # explanation point read unions per-tier buckets loss-free
+        return [fsutil.join(d, "postings") for d in self.tier_dirs]
+
     def uuid_map_dirs(self) -> list[str]:
         # a uuid lives in exactly one tier (disjoint doc ranges + per-build
         # uniqueness gate); reading every tier's bucket preserves the
