@@ -1376,6 +1376,85 @@ LIMIT {k}
 
 
 # ======================================================================
+# Explanation surface (r6, VERDICT r5 stretch #9): per-hit score
+# breakdowns THROUGH the engine (search(..., explain=True) — the tantivy
+# Explanation analog, tique/src/dismax.rs:308-358). Each hit's per-term
+# contribution (the value of the corresponding should-child in the
+# explanation tree) is flattened into its own column, and the oracle
+# recomputes every contribution from first principles — so the driver
+# gate checks the explanation ARITHMETIC itself, not just the ranking.
+# ======================================================================
+
+def bm25_explained(spark, sf_dir, terms=("spark", "join"), k=10) -> DataFrame:
+    res = _engine(spark, sf_dir).search(
+        {"fulltext": " ".join(terms), "num_items": k}, explain=True)
+    rows = []
+    for it in res.items:
+        ex = it["explanation"]
+        # 2+ bare terms parse to Boolean(shoulds=[per-term node…]); each
+        # should's value IS that term's contribution (the path leaf of the
+        # per-term field DisMax scores 0 on this corpus, so max+(sum−max)·tb
+        # degenerates to the content leaf — exact, not approximate)
+        shoulds = ex["shoulds"] if ex["type"] == "boolean" else [ex]
+        assert len(shoulds) == len(terms), (terms, ex)
+        rows.append((int(it["doc_id"]), float(it["score"]),
+                     *(float(c["value"]) for c in shoulds)))
+    schema = "doc_id long, score float, " + ", ".join(
+        f"c_{t} float" for t in terms)
+    if not rows:
+        return spark.createDataFrame([], schema.replace("float", "double"))
+    df = spark.createDataFrame(rows, schema)
+    return df.select(
+        "doc_id",
+        F.round(F.col("score").cast("double"), 5).alias("score"),
+        *[F.round(F.col(f"c_{t}").cast("double"), 5).alias(f"c_{t}")
+          for t in terms])
+
+
+def bm25_explained_sql(terms=("spark", "join"), k=10) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+
+    def contrib(i: int) -> str:
+        return (f"(CASE WHEN b.tf{i} > 0 THEN "
+                f"{_sql_bm25_expr(f'b.tf{i}', f's.df{i}', 'b.dl')} "
+                f"ELSE 0.0 END)")
+
+    score_sum = " + ".join(contrib(i) for i in range(len(terms)))
+    c_sel = ",\n         ".join(
+        f"CAST({contrib(i)} AS REAL) AS c32_{i}"
+        for i in range(len(terms)))
+    c_out = ",\n       ".join(
+        f"ROUND(CAST(c32_{i} AS DOUBLE), 5) AS c_{t}"
+        for i, t in enumerate(terms))
+    match = " OR ".join(f"b.tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH tok AS ({_SQL_TOK}),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM tok),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM base),
+scored AS (
+  SELECT b.doc_id, CAST({score_sum} AS REAL) AS s32,
+         {c_sel}
+  FROM base b, stats s
+  WHERE {match})
+SELECT doc_id, ROUND(CAST(s32 AS DOUBLE), 5) AS score,
+       {c_out}
+FROM scored ORDER BY s32 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1412,4 +1491,6 @@ QUERIES = {
     # r5 serving-path features, oracle-checked
     "tiered_search": (tiered_search, tiered_search_sql()),  # §2.9 tiers
     "batched_search": (batched_search, batched_search_sql()),  # batch exec
+    # r6: explanation surface, arithmetic oracle-checked
+    "bm25_explained": (bm25_explained, bm25_explained_sql()),
 }
