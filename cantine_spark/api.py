@@ -133,6 +133,11 @@ class SearchEngine:
     # pin segment/docmeta tables in cluster memory — set for long-lived
     # serving processes (see FastTopK.pin_tables)
     pin_tables: bool = False
+    # driver-tier execution (wand.FastTopK.use_driver): small-posting
+    # queries answered by driver-side point reads + the local kernel —
+    # zero Spark jobs, bit-equal, cluster fallback. False forces every
+    # query onto the cluster kernel (plan tests / bench comparison leg).
+    use_driver: bool = True
     executor: SearchExecutor = dc_field(init=False)
     parser: QueryParser = dc_field(init=False)
 
@@ -142,7 +147,7 @@ class SearchEngine:
         self.features = self.reader.features  # schema-derived (U5)
         self._fast: FastTopK | None = (
             FastTopK(self.reader, executor=self.executor,
-                     pin_tables=self.pin_tables)
+                     pin_tables=self.pin_tables, use_driver=self.use_driver)
             if self.reader.has_segments else None)
         if self.pin_tables:
             self.executor.pin_hydration()
@@ -351,7 +356,8 @@ class SearchEngine:
                             stats={"blocks_total": res.blocks_total,
                                    "blocks_scored": res.blocks_scored,
                                    "visited": res.visited,
-                                   "champion_served": res.champion_served})
+                                   "champion_served": res.champion_served,
+                                   "driver_served": res.driver_served})
 
     # ----------------------------------------------------------- search_node
     def search_node(self, node: QueryNode, k: int = DEFAULT_ITEMS,

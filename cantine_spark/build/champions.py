@@ -219,6 +219,8 @@ def write_champions(spark: SparkSession, index_dir: str,
             "avgdl": {k: float(v) for k, v in avgdl.items()},
             "seconds": round(time.time() - t0, 3)}
     fsutil.write_json(fsutil.join(out_path, "_CHAMPIONS_META.json"), meta)
+    from cantine_spark.execution import driverexec
+    driverexec.invalidate_caches()
     return meta
 
 

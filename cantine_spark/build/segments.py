@@ -286,6 +286,10 @@ def build_segments(spark: SparkSession, index_dir: str,
             "n_blocks": n_blocks, "fastfields": True,
             "encode_seconds": seconds}
     fsutil.write_json(fsutil.join(out_path, "_SEGMENTS_META.json"), meta)
+    # an in-place re-encode (tests with force=True; prod dirs are
+    # immutable) must not leave stale driver-tier dataset/row caches
+    from cantine_spark.execution import driverexec
+    driverexec.invalidate_caches()
     return meta
 
 

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cantine_spark.build.codec import decode_varint
+from cantine_spark.execution import driverexec
 from cantine_spark.execution.scoring import B, K1, idf as idf_fn
 from cantine_spark.index import IndexReader
 from cantine_spark.plans.nodes import (
@@ -1302,6 +1303,11 @@ class KernelResult:
     # are identical either way (lossless tail bound); this flag is pure
     # observability for tests and the bench's blocks counters
     champion_served: bool = False
+    # True when the result was computed ON THE DRIVER (execution/driverexec:
+    # pyarrow point read of the query terms' rows + the same kernel closure
+    # run locally — zero Spark jobs). Pure observability: results are
+    # bit-equal to the cluster kernel by construction (same code, same rows)
+    driver_served: bool = False
 
 
 @dataclass
@@ -1319,6 +1325,14 @@ class FastTopK:
     # and Spark's CacheManager rewrites EVERY matching plan in the
     # application to the cached relation (surprising for plan inspection).
     pin_tables: bool = False
+    # driver-tier execution (execution/driverexec): queries whose terms'
+    # TOTAL posting count fits under driver_max_postings are answered by a
+    # pyarrow point read + the same kernel closure run locally — zero Spark
+    # jobs, bit-equal results, cluster-kernel fallback on any failure.
+    # use_driver=False forces every query onto the cluster kernel (plan
+    # tests; bench's forced-cluster comparison leg).
+    use_driver: bool = True
+    driver_max_postings: int = driverexec.DRIVER_MAX_POSTINGS
     avgdl_by_field: dict = dc_field(init=False)
 
     def __post_init__(self):
@@ -1414,15 +1428,46 @@ class FastTopK:
     def _segments_for(self, terms: set[tuple[str, str]]) -> DataFrame:
         return self._seg.filter(self._term_cond(terms))
 
+    def _champ_frames_driver(self, field: str, term: str, idf: float,
+                             factor: float, k: int) -> pd.DataFrame:
+        """Driver-side champion read + score for ONE (field, term): pyarrow
+        point read of the champion rows (row-group pruned on the sorted
+        layout), scored with the SAME _champ_row_frame the Spark kernel
+        uses. Raises on any read failure — the caller falls back to the
+        Spark champion job. Champion rows are ≤ cap postings per shard
+        regardless of df, so this read is bounded even for the hottest
+        term (unlike the segment driver tier, which is df-budgeted)."""
+        rows = driverexec.read_rows(self.reader.champion_point_spec(),
+                                    {(field, term)}, driverexec.CHAMP_COLUMNS)
+        avgdl_now = float(self.avgdl_by_field[field])
+        frames = [_champ_row_frame(r, idf, avgdl_now, factor, k)
+                  for r in rows.itertuples(index=False)]
+        if not frames:
+            return pd.DataFrame(
+                columns=[f.name for f in CHAMP_KERNEL_SCHEMA.fields])
+        return pd.concat(frames, ignore_index=True)
+
     def _champion_search(self, field: str, term: str, idf: float,
                          factor: float, k: int) -> KernelResult | None:
         """Serve a single-term top-k from the champion sidecar, or return
         None when the lossless bound cannot be established (the caller then
-        runs the full block kernel — one wasted tiny job, never a wrong
-        answer). One Spark job: the champions scan prunes to ~one file via
-        parquet min/max on the (field, term)-sorted layout, the kernel
-        emits ≤k+1 rows per champion row, and the driver merge is the same
-        merge_fruits shape as the main path."""
+        runs the full block kernel — never a wrong answer).
+
+        Zero Spark jobs in the common case: the champion rows are a
+        driver-side pyarrow point read (bounded at cap postings/shard even
+        for the hottest term) scored locally with the same _champ_row_frame
+        arithmetic. Any read failure falls back to the r5 shape — one tiny
+        Spark job over the champions scan (row-group pruned to ~one file),
+        same kernel math, same _champ_verify."""
+        if self.use_driver:
+            try:
+                res = _champ_verify(
+                    self._champ_frames_driver(field, term, idf, factor, k), k)
+                if res is not None:
+                    res.driver_served = True
+                return res
+            except Exception:
+                pass  # unreadable sidecar path → Spark fallback below
         avgdl_now = float(self.avgdl_by_field[field])
         kern = make_champion_kernel(idf, avgdl_now, factor, k)
         job = (self._champ
@@ -1430,6 +1475,56 @@ class FastTopK:
                .mapInPandas(kern, CHAMP_KERNEL_SCHEMA))
         self.last_job = job
         return _champ_verify(job.toPandas(), k)
+
+    def _driver_search(self, node: QueryNode, live: set, idfs: dict, k: int,
+                       after, ascending: bool, sort_feature: str | None,
+                       agg_query, range_filters, seed_min: int,
+                       use_champs: bool, empty_agg) -> KernelResult:
+        """Execute ONE query entirely on the driver: point-read the live
+        terms' segment rows (pyarrow, row-group pruned, tier bounds
+        rescaled), group by shard in pandas, and run the UNMODIFIED
+        per-shard kernel closure on each group — the exact code the
+        cluster path runs inside applyInPandas, over the exact same rows,
+        so results are bit-equal by construction (differential-tested).
+        Fast-field sidecar reads (_load_fastfields) and champion cogroup
+        rows resolve driver-side through the same fsutil-routed readers
+        the executor tasks use. Raises on any failure — the caller falls
+        back to the cluster kernel."""
+        need_pos = tree_has_phrase(node)
+        cols = driverexec.SEG_COLUMNS + (("positions",) if need_pos else ())
+        rows = driverexec.read_rows(
+            self.reader.segment_point_spec(), live, cols)
+        champs_pdf = None
+        if use_champs and len(rows):
+            champs_pdf = driverexec.read_rows(
+                self.reader.champion_point_spec(), live,
+                driverexec.CHAMP_COLUMNS)
+        need_sidecar = (sort_feature is not None or bool(agg_query)
+                        or bool(range_filters))
+        run = make_kernel(
+            node, idfs, self.avgdl_by_field, k, after, ascending,
+            seed_min=seed_min, with_meta=False, sort_field=sort_feature,
+            fastfield_dir=self._ff_dir if need_sidecar else None,
+            shard_span=self._span,
+            agg_spec={f: [(float(lo), float(hi)) for lo, hi in r]
+                      for f, r in agg_query.items()} if agg_query else None,
+            filter_spec={f: (float(lo), float(hi))
+                         for f, (lo, hi) in range_filters.items()}
+            if range_filters else None, raw=True)
+        frames = []
+        if len(rows):
+            for shard, g in rows.groupby("shard", sort=True):
+                ch = None
+                if champs_pdf is not None:
+                    cg = champs_pdf[champs_pdf["shard"].to_numpy() == shard]
+                    ch = cg if len(cg) else None
+                frames.append(run(int(shard), g, None, champs=ch))
+        pdf = (pd.concat(frames, ignore_index=True) if frames
+               else _empty_kernel_frame())
+        res = _merge_kernel_frame(pdf, k, ascending, sort_feature,
+                                  agg_query, empty_agg)
+        res.driver_served = True
+        return res
 
     def search(self, node: QueryNode, k: int = 10,
                after: tuple[float, int] | None = None,
@@ -1522,6 +1617,21 @@ class FastTopK:
                       and after is None and not ascending
                       and sort_feature is None and not preds
                       and champ_tree_ok(node))
+        # driver tier: when the query's total posting count fits under the
+        # budget, point-read exactly those rows and run the same kernel
+        # closure locally — zero Spark jobs (module rationale in
+        # execution/driverexec). Cluster fallback on any failure.
+        if (self.use_driver and not preds
+                and (sort_feature is None or use_ff_sort)
+                and sum(dfs[ft] for ft in live) <= self.driver_max_postings):
+            try:
+                return self._driver_search(
+                    node, live, idfs, k, after, ascending,
+                    sort_feature if use_ff_sort else None,
+                    agg_query, range_filters, seed_min,
+                    use_champs, empty_agg)
+            except Exception:
+                pass  # unreadable path / stale layout → cluster kernel
         kernel = make_kernel(
             node, idfs, self.avgdl_by_field, k, after, ascending,
             seed_min=seed_min, with_meta=with_meta, sort_field=sort_feature,
@@ -1663,6 +1773,26 @@ class FastTopK:
                 out[i] = KernelResult(0, 0, [], agg=empty_agg)
                 continue
             self._check_sidecar_cover(agg_query, range_filters)
+            # driver tier first (same budget + fallback as search()): a
+            # batch whose queries are all under budget costs ZERO Spark
+            # jobs; mixed batches serve the small queries here and batch
+            # the rest
+            if (self.use_driver
+                    and sum(dfs[ft] for ft in idfs)
+                    <= self.driver_max_postings):
+                use_champs = (use_champions and self._champ is not None
+                              and after is None and not ascending
+                              and sort_feature is None
+                              and champ_tree_ok(node))
+                try:
+                    out[i] = self._driver_search(
+                        node, set(idfs), idfs, k, after, ascending,
+                        sort_feature, agg_query, range_filters,
+                        int(sp.get("seed_min", SEED_MIN)),
+                        use_champs, empty_agg)
+                    continue
+                except Exception:
+                    pass
             ctx = dict(node=node, k=k, after=after, ascending=ascending,
                        sort_feature=sort_feature, agg_query=agg_query,
                        range_filters=range_filters,
@@ -1680,6 +1810,24 @@ class FastTopK:
                     champ_direct[i] = (
                         base.field, base.text,
                         idfs[(base.field, base.text)], fac, k)
+
+        # driver-side champion reads first (bounded at cap postings/shard
+        # even for the hottest term): each served query leaves the batch;
+        # a verify-fail drops to job 2 exactly like the Spark shape. Only
+        # an unreadable sidecar path leaves entries for the Spark job 1.
+        if champ_direct and self.use_driver:
+            for i in list(champ_direct):
+                f_, t_, idf, fac, k = champ_direct[i]
+                try:
+                    res = _champ_verify(
+                        self._champ_frames_driver(f_, t_, idf, fac, k), k)
+                except Exception:
+                    break
+                del champ_direct[i]
+                if res is not None:
+                    res.driver_served = True
+                    out[i] = res
+                    del block[i]
 
         # job 1: every champion-eligible single-term query in one pass
         if champ_direct:

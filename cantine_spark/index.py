@@ -177,6 +177,17 @@ class IndexReader:
     def champions_df(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(fsutil.join(self.index_dir, "champions"))
 
+    # ---- driver-tier point-read specs (execution/driverexec): the same
+    #      tables as segments_df/champions_df, addressed for pyarrow point
+    #      reads. A tiered reader overrides these with per-tier dirs and
+    #      max_tfnorm rescale factors so driver-side bounds match the
+    #      rescaled plan bit-for-bit.
+    def segment_point_spec(self) -> list[tuple[str, dict[str, float]]]:
+        return [(fsutil.join(self.index_dir, "segments"), {})]
+
+    def champion_point_spec(self) -> list[str]:
+        return [fsutil.join(self.index_dir, "champions")]
+
     # ---- point lookups (S7 analog: find_by_id / find_by_uuid / id_for_uuid,
     #      cantine/src/database/readerwriter.rs:61-77). docs is written
     #      range-partitioned + sorted by doc_id → parquet row-group pruning.

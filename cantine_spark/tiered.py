@@ -265,3 +265,22 @@ class TieredIndexReader(IndexReader):
 
     def champions_df(self, spark: SparkSession) -> DataFrame:
         return self._union("champions", spark)
+
+    # ----------------------------------------------- driver-tier point specs
+    def segment_point_spec(self) -> list[tuple[str, dict[str, float]]]:
+        """Per-tier segments dirs with the SAME max_tfnorm rescale factors
+        segments_df applies in the plan (max(1, avgdl_global/avgdl_tier)
+        per field) — driver-side point reads see identical bounds."""
+        g = self.stats
+        out = []
+        for d, ts in zip(self.tier_dirs, self.tier_stats):
+            factors = {fld: g[fld]["avgdl"] / s["avgdl"]
+                       for fld, s in ts.items()
+                       if s["avgdl"] > 0 and g[fld]["avgdl"] / s["avgdl"] > 1.0}
+            out.append((fsutil.join(d, "segments"), factors))
+        return out
+
+    def champion_point_spec(self) -> list[str]:
+        # no rescale: champion rows store avgdl_build, the query-side tail
+        # bound applies the drift factor per row (make_champion_kernel)
+        return [fsutil.join(d, "champions") for d in self.tier_dirs]

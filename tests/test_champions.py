@@ -44,7 +44,10 @@ def champ_idx(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def champ_fast(spark, champ_idx):
-    return FastTopK(IndexReader(spark, champ_idx))
+    # use_driver=False: these tests pin the CLUSTER champion/seeded
+    # kernel paths (the driver tier's equality has its own suite,
+    # test_driverexec.py)
+    return FastTopK(IndexReader(spark, champ_idx), use_driver=False)
 
 
 def _same(a, b):
@@ -187,23 +190,26 @@ def test_rare_term_complete_list_serves_below_k(champ_fast):
     _same(a, b)
 
 
-def test_tiny_cap_tail_bound_forces_fallback(spark, champ_idx, champ_fast):
+def test_tiny_cap_tail_bound_forces_fallback(spark, champ_idx, tmp_path):
     """cap=1 heads cannot cover k=10 against a nonzero tail bound: the
     driver must detect it and fall back to the block path — same results,
-    champion_served False. Restores the default-cap sidecar afterwards."""
-    stats = (spark.read.parquet(os.path.join(champ_idx, "index_stats"))
+    champion_served False. Runs on a COPY of the index: rewriting the
+    shared module index would strand the module fixture's cached parquet
+    file listing (Spark captures it at read time)."""
+    import shutil
+
+    idx = str(tmp_path / "capidx")
+    shutil.copytree(champ_idx, idx)
+    stats = (spark.read.parquet(os.path.join(idx, "index_stats"))
              .toPandas())
     avgdl = {r["field"]: float(r["avgdl"]) for _, r in stats.iterrows()}
-    span = load_segments_meta(champ_idx)["shard_span"]
-    try:
-        write_champions(spark, champ_idx, avgdl, span, cap=1)
-        fast = FastTopK(IndexReader(spark, champ_idx))
-        a = fast.search(HOT, k=K)
-        assert not a.champion_served
-        b = fast.search(HOT, k=K, use_champions=False)
-        _same(a, b)
-    finally:
-        write_champions(spark, champ_idx, avgdl, span)
+    span = load_segments_meta(idx)["shard_span"]
+    write_champions(spark, idx, avgdl, span, cap=1)
+    fast = FastTopK(IndexReader(spark, idx))
+    a = fast.search(HOT, k=K)
+    assert not a.champion_served
+    b = fast.search(HOT, k=K, use_champions=False)
+    _same(a, b)
 
 
 def test_stale_span_disables_champions(spark, champ_idx):

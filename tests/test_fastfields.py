@@ -74,7 +74,10 @@ def test_unfiltered_field_sort_is_plain_groupby(reader):
     (O(n_docs) through a shuffle per query). With the sidecar the job must
     be a single-input groupBy kernel whose only scan is the term-pruned
     segments table — O(matches-per-shard) rows move, period."""
-    fast = FastTopK(reader, pin_tables=False)
+    # use_driver=False: this test asserts the CLUSTER plan shape (the
+    # driver tier would answer without any Spark job; its equality is
+    # pinned in test_driverexec.py)
+    fast = FastTopK(reader, pin_tables=False, use_driver=False)
     res = fast.search(Term("content", "def"), k=5,
                       sort_feature="num_lines")
     assert res.hits  # sanity: the query matched
@@ -93,7 +96,7 @@ def test_filtered_query_runs_in_kernel_no_cogroup(reader):
     (the reference composes RangeQuery into the per-segment query,
     main.rs:152-172) — a filtered, sorted, aggregating fulltext query is
     ONE single-input groupBy kernel job with no docmeta scan at all."""
-    fast = FastTopK(reader, pin_tables=False)
+    fast = FastTopK(reader, pin_tables=False, use_driver=False)
     res = fast.search(Term("content", "def"), k=5,
                       range_filters={"num_lines": (3, 50)},
                       sort_feature="content_bytes",

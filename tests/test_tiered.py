@@ -277,3 +277,25 @@ def test_randomized_cross_path_fuzz(engines):
                 follow = {**q, "after": a.next}
                 _same(e_full.search(dict(follow)),
                       e_tier.search(dict(follow)), agg=True)
+
+
+def test_tiered_driver_tier_equals_cluster(spark, tiered_env):
+    """Driver-tier point reads over a TIERED reader must apply the same
+    per-tier max_tfnorm rescale the cluster plan applies
+    (segment_point_spec ↔ segments_df), and champion tail bounds must stay
+    drift-safe across tiers — pinned by exact equality on both paths."""
+    from cantine_spark.execution.wand import FastTopK
+    from cantine_spark.plans.nodes import DisMax, Phrase, Term
+
+    _, tiers, _, _ = tiered_env
+    r = TieredIndexReader(spark, tiers)
+    fd, fc = FastTopK(r), FastTopK(r, use_driver=False)
+    shapes = [
+        Term("content", "def"),
+        DisMax((Term("content", "def"), Term("path", "def")), 0.1),
+        Phrase("content", ("def", "the")),
+    ]
+    for node in shapes:
+        a, b = fd.search(node, k=8), fc.search(node, k=8)
+        assert a.driver_served and not b.driver_served
+        assert (a.hits, a.total, a.visited) == (b.hits, b.total, b.visited)
