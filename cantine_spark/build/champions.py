@@ -193,16 +193,33 @@ def _champion_batches(avgdl: dict, cap: int):
     return gen
 
 
+def champion_cap(shard_span: int) -> int:
+    """Coverage-PROPORTIONAL champion cap (r6): a fixed C=256 was tuned at
+    span≈400 (50k docs / 128 shards), where heads cover ~65% of a hot
+    term's shard postings and the tail bound discriminates. At span 6250
+    (800k docs) the same C covers 4%, the tail sits at the distribution's
+    saturated shoulder, and NO bound can separate near-top docs (measured:
+    perfect-θ survivors 163 → 138/143 blocks at C=256 vs 12 → 30/143 at
+    C=1024, BENCH.md r6). cap = span/6 keeps head coverage ≈ constant
+    (~17% of a df≈span term, well past the shoulder) at any scale; the
+    sidecar stays ≤ ~16 B × postings/6 — the classic space-for-latency
+    trade, and the scaling knob that makes champion pruning span-stable."""
+    return max(CHAMP_COUNT, shard_span // 6)
+
+
 def write_champions(spark: SparkSession, index_dir: str,
                     avgdl: dict, shard_span: int,
-                    cap: int = CHAMP_COUNT) -> dict:
+                    cap: int | None = None) -> dict:
     """Derive the champion sidecar from the segments table. One pass:
     segments (positions column pruned out of the scan) → repartition by
     (field, term, shard) → vectorized decode + top-C per group →
     hash-partitioned by (field, term) — all shards of a term in ONE file,
     sorted, so a query's term lookup prunes to one file's ~one row group
     via parquet min/max stats (repartitionByRange would sample = run the
-    decode twice)."""
+    decode twice). cap=None → champion_cap(shard_span), the span-stable
+    coverage-proportional default."""
+    if cap is None:
+        cap = champion_cap(shard_span)
     seg = (spark.read.parquet(os.path.join(index_dir, "segments"))
            .select("field", "term", "shard", "block_id",
                    "doc_deltas", "tfs", "dls"))

@@ -61,6 +61,13 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("dls", T.BinaryType(), False),
     T.StructField("positions", T.BinaryType(), False),
     T.StructField("max_tfnorm", T.DoubleType(), False),
+    # per-block tf-normalization MINIMUM (r6): a TRUE lower bound on any
+    # member doc's contribution, decode-free. On flat-tfnorm leaves
+    # (short constant-tf fields like `path`) min ≈ max, so the deferred-
+    # leaf cascade (wand.scores_interval) bounds members nearly exactly
+    # without touching tfs/dls. Pre-r6 indexes lack the column; readers
+    # fall back to 0.0 (the old, weaker-but-valid bound).
+    T.StructField("min_tfnorm", T.DoubleType(), False),
 ])
 
 
@@ -95,6 +102,7 @@ def _encode_group_blocks(field: str, term: str, shard: int,
             encode_varint(l_.astype(np.uint64)),
             b"" if pos is None else b"".join(pos[sl]),
             float(tfnorm[sl].max()),
+            float(tfnorm[sl].min()),
         ))
     return rows
 
@@ -164,6 +172,7 @@ def _encode_sorted(pdf: pd.DataFrame, avgdl: dict) -> pd.DataFrame:
         "dls": block_slices(lbuf, lnb),
         "positions": pos_slices,
         "max_tfnorm": np.maximum.reduceat(tfn, bstart),
+        "min_tfnorm": np.minimum.reduceat(tfn, bstart),
     })
 
 

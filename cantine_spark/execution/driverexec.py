@@ -48,9 +48,12 @@ import pandas as pd
 
 from cantine_spark import fsutil
 
-# segment columns the kernel touches (positions only for phrase trees)
+# segment columns the kernel touches (positions only for phrase trees);
+# min_tfnorm is optional — pre-r6 indexes lack it and readers fall back
+# to the 0.0 floor
 SEG_COLUMNS = ("field", "term", "first_doc", "n_docs",
-               "doc_deltas", "tfs", "dls", "max_tfnorm")
+               "doc_deltas", "tfs", "dls", "max_tfnorm", "min_tfnorm")
+OPTIONAL_ZERO_COLS = {"min_tfnorm"}
 CHAMP_COLUMNS = ("field", "term", "shard", "n_total", "n_champ", "n_blocks",
                  "doc_ids", "tfs", "dls", "tail_tfnorm", "avgdl_build")
 
@@ -116,11 +119,13 @@ def invalidate_caches() -> None:
 def read_rows(spec, terms, columns: tuple[str, ...]) -> pd.DataFrame:
     """Point-read the rows of `terms` from a (possibly tiered) table.
 
-    spec: [(dir, {field: max_tfnorm_factor})] or [dir, ...] — one entry
-    per tier; a non-empty factor dict rescales that tier's max_tfnorm
-    (TieredIndexReader.segments_df parity, lossless-bound algebra in
-    tiered.py). Returns a pandas frame with a `shard` column (hive
-    partition column for segments, data column for champions)."""
+    spec: [(dir, {field: (max_factor, min_factor)})] or [dir, ...] — one
+    entry per tier; a non-empty factor dict rescales that tier's
+    max_tfnorm/min_tfnorm bounds (TieredIndexReader.segments_df parity,
+    lossless-bound algebra in tiered.py). Columns in OPTIONAL_ZERO_COLS
+    that a (pre-r6) table lacks come back as 0.0 — the valid weaker
+    bound. Returns a pandas frame with a `shard` column (hive partition
+    column for segments, data column for champions)."""
     norm = [(s, {}) if isinstance(s, str) else (s[0], dict(s[1]))
             for s in spec]
     key = (tuple(d for d, _ in norm),
@@ -133,11 +138,27 @@ def read_rows(spec, terms, columns: tuple[str, ...]) -> pd.DataFrame:
     want = list(columns) + (["shard"] if "shard" not in columns else [])
     frames = []
     for d, factors in norm:
-        pdf = (_dataset(d).to_table(filter=expr, columns=want).to_pandas())
+        ds = _dataset(d)
+        have = set(ds.schema.names)
+        missing = [c for c in want if c not in have]
+        bad = [c for c in missing if c not in OPTIONAL_ZERO_COLS]
+        if bad:
+            raise KeyError(f"columns {bad} absent in {d}")
+        pdf = (ds.to_table(filter=expr,
+                           columns=[c for c in want if c in have])
+               .to_pandas())
+        for c in missing:
+            pdf[c] = 0.0
         if factors and len(pdf):
-            fac = pdf["field"].map(factors).fillna(1.0).to_numpy(np.float64)
+            fmax = {f_: v[0] for f_, v in factors.items()}
+            fmin = {f_: v[1] for f_, v in factors.items()}
+            up = pdf["field"].map(fmax).fillna(1.0).to_numpy(np.float64)
             pdf["max_tfnorm"] = (
-                pdf["max_tfnorm"].to_numpy(np.float64) * fac)
+                pdf["max_tfnorm"].to_numpy(np.float64) * up)
+            if "min_tfnorm" in pdf.columns:
+                dn = pdf["field"].map(fmin).fillna(1.0).to_numpy(np.float64)
+                pdf["min_tfnorm"] = (
+                    pdf["min_tfnorm"].to_numpy(np.float64) * dn)
         frames.append(pdf)
     out = (frames[0] if len(frames) == 1
            else pd.concat(frames, ignore_index=True))

@@ -156,8 +156,8 @@ def segment_eligible(node: QueryNode) -> bool:
 class _TermData:
     """Per-(field,term) decoded state within one shard, decode-lazy."""
 
-    __slots__ = ("docs", "blk", "row_start", "row_end", "tfn_ub", "rows",
-                 "tf", "dl", "decoded", "pos_cache")
+    __slots__ = ("docs", "blk", "row_start", "row_end", "tfn_ub", "tfn_lb",
+                 "rows", "tf", "dl", "decoded", "pos_cache")
 
     def __init__(self, pdf: pd.DataFrame, row_idx: np.ndarray):
         # row_idx: indices into pdf for this term's blocks, first_doc-sorted
@@ -172,6 +172,15 @@ class _TermData:
         self.row_start = bounds[:-1]
         self.row_end = bounds[1:]
         self.tfn_ub = np.repeat(pdf["max_tfnorm"].to_numpy()[row_idx], n_per)
+        # per-member tf-normalization LOWER bound from the block minimum
+        # (r6 segments column); pre-r6 indexes fall back to 0.0 — weaker
+        # but equally valid
+        if "min_tfnorm" in pdf.columns:
+            self.tfn_lb = np.repeat(np.nan_to_num(
+                pdf["min_tfnorm"].to_numpy(np.float64), nan=0.0)[row_idx],
+                n_per)
+        else:
+            self.tfn_lb = np.zeros(len(self.docs), dtype=np.float64)
         self.tf = np.zeros(len(self.docs), dtype=np.float64)
         self.dl = np.zeros(len(self.docs), dtype=np.float64)
         self.decoded: set[int] = set()
@@ -372,6 +381,94 @@ class _ShardEval:
             return out
         return self.scores(node, C)
 
+    def _scoring_leaves(self, node: QueryNode, out: set) -> None:
+        if isinstance(node, Term):
+            out.add((node.field, node.text))
+        elif isinstance(node, Boost):
+            self._scoring_leaves(node.child, out)
+        elif isinstance(node, DisMax):
+            for c in node.children:
+                self._scoring_leaves(c, out)
+        elif isinstance(node, Boolean):
+            for m in node.musts:
+                if not isinstance(m, All):
+                    self._scoring_leaves(m, out)
+            for s in node.shoulds:
+                self._scoring_leaves(s, out)
+
+    def defer_leaves(self, node: QueryNode,
+                     flat_frac: float = 0.9,
+                     min_blocks: int = 8) -> set[tuple[str, str]]:
+        """Scoring Term leaves whose champion TAIL bound sits within
+        flat_frac of the leaf's best block bound — a flat tf-normalization
+        distribution (short constant-tf fields like `path`), where neither
+        block maxima nor champion tails can discriminate: every candidate's
+        per-leaf bound ≈ its exact value, so exact-scoring the leaf for the
+        whole survivor set is pure decode waste. The seeded kernel DEFERS
+        these leaves: survivors are interval-scored with the leaf bounded
+        (champ_lb, champ_ub) decode-free, and only the post-prune survivor
+        set decodes them (see the cascade in make_kernel). min_blocks keeps
+        tiny leaves on the exact path where deferral can't pay."""
+        leaves: set[tuple[str, str]] = set()
+        self._scoring_leaves(node, leaves)
+        out: set[tuple[str, str]] = set()
+        for ft in leaves:
+            td = self.term(ft)
+            if len(td.docs) == 0 or len(td.rows) < min_blocks:
+                continue
+            ch = self.champ(ft)
+            if ch is None:
+                continue
+            tail = ch[2]
+            if tail > 0 and tail >= flat_frac * float(td.tfn_ub.max()):
+                out.add(ft)
+        return out
+
+    def scores_interval(self, node: QueryNode, C: np.ndarray,
+                        defer: set[tuple[str, str]]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc score INTERVALS [lo, hi] for docs C: deferred Term
+        leaves contribute their decode-free champion bounds (champ_lb,
+        champ_ub — exact on heads, [0, min(tail, block max)] on other
+        members, [0, 0] on non-members), every other leaf its EXACT value
+        (scores_seeded — decodes those leaves' blocks for C). All
+        combiners (sum, max, dismax mx+(sm−mx)·tb with tb∈[0,1],
+        non-negative boosts) are monotone in every argument, so combining
+        los/his endpoint-wise yields true bounds: lo(d) ≤ score(d) ≤ hi(d)
+        pointwise."""
+        if isinstance(node, Term):
+            if (node.field, node.text) in defer:
+                return self.champ_lb(node, C), self.champ_ub(node, C)
+            x = self.scores_seeded(node, C)
+            return x, x
+        if isinstance(node, Boost):
+            lo, hi = self.scores_interval(node.child, C, defer)
+            return lo * node.factor, hi * node.factor
+        if isinstance(node, DisMax):
+            parts = [self.scores_interval(c, C, defer)
+                     for c in node.children]
+            kl = np.stack([p[0] for p in parts])
+            kh = np.stack([p[1] for p in parts])
+            tb = node.tiebreaker
+            mxl, sml = kl.max(axis=0), kl.sum(axis=0)
+            mxh, smh = kh.max(axis=0), kh.sum(axis=0)
+            return mxl + (sml - mxl) * tb, mxh + (smh - mxh) * tb
+        if isinstance(node, Boolean):
+            lo = np.zeros(len(C), dtype=np.float64)
+            hi = np.zeros(len(C), dtype=np.float64)
+            for m in node.musts:
+                if not isinstance(m, All):
+                    l_, h_ = self.scores_interval(m, C, defer)
+                    lo += l_
+                    hi += h_
+            for s in node.shoulds:
+                l_, h_ = self.scores_interval(s, C, defer)
+                lo += l_
+                hi += h_
+            return lo, hi
+        x = self.scores(node, C)
+        return x, x
+
     def champ_ub(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
         """Per-doc score UPPER bounds for docs D, decode-free: a Term leaf
         contributes the doc's EXACT champion-head tfnorm when the doc is a
@@ -424,21 +521,34 @@ class _ShardEval:
     def champ_lb(self, node: QueryNode, D: np.ndarray) -> np.ndarray:
         """Per-doc score LOWER bounds for docs D, decode-free: a Term leaf
         contributes the doc's EXACT champion-head tfnorm when the doc is a
-        head, else 0 (a match contributes ≥ 0; absence contributes exactly
-        0 — both dominated). Combined through the same monotone tree as
-        scores(), so lb(d) ≤ score(d) pointwise. Requires non-negative
-        Boost factors (enforced by champ_tree_ok)."""
+        head; any other MEMBER its block's min_tfnorm (r6 segments column —
+        a true per-member floor, 0.0 on pre-r6 indexes); non-members
+        exactly 0. Combined through the same monotone tree as scores(), so
+        lb(d) ≤ score(d) pointwise. Requires non-negative Boost factors
+        (enforced by champ_tree_ok)."""
         if isinstance(node, Term):
             ft = (node.field, node.text)
+            td = self.term(ft)
             out = np.zeros(len(D), dtype=np.float64)
-            ch = self.champ(ft)
-            if ch is None:
+            if len(td.docs) == 0:
                 return out
-            cdocs, ctfn, _tail = ch
-            cpos = np.searchsorted(cdocs, D)
-            cclip = np.clip(cpos, 0, max(len(cdocs) - 1, 0))
-            in_head = cdocs[cclip] == D
-            out[in_head] = self.idfs[ft] * ctfn[cclip[in_head]]
+            pos = np.searchsorted(td.docs, D)
+            pos_c = np.clip(pos, 0, len(td.docs) - 1)
+            present = td.docs[pos_c] == D
+            if not present.any():
+                return out
+            sel = pos_c[present]
+            vals = td.tfn_lb[sel].copy()
+            ch = self.champ(ft)
+            if ch is not None:
+                cdocs, ctfn, _tail = ch
+                hit = D[present]
+                cpos = np.searchsorted(cdocs, hit)
+                cclip = np.clip(cpos, 0, max(len(cdocs) - 1, 0))
+                in_head = cdocs[cclip] == hit
+                # exact head value dominates its own block's min
+                vals[in_head] = ctfn[cclip[in_head]]
+            out[present] = self.idfs[ft] * vals
             return out
         if isinstance(node, Boost):
             return self.champ_lb(node.child, D) * node.factor
@@ -1110,6 +1220,41 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 # (differential-tested vs the unseeded kernel).
                 E = np.intersect1d(ev.champ_seed(node), C,
                                    assume_unique=True)
+                defer = ev.defer_leaves(node)
+                if len(E) >= k and defer:
+                    # deferred-leaf CASCADE (r6, VERDICT r5 #1): a flat
+                    # leaf (tail ≈ best block bound — `path`-style short
+                    # constant-tf fields) defeats every bound-based prune,
+                    # and its blocks dominate the fielded-DisMax decode
+                    # (97-98% of blocks scored at 800k). The cascade never
+                    # exact-scores such leaves for the broad survivor set:
+                    #   1. θ_lo = k-th champion LOWER bound over the seed
+                    #      (decode-free), S = candidates whose champion
+                    #      UPPER bound reaches θ_lo (decode-free).
+                    #   2. interval-score S: non-deferred leaves EXACT
+                    #      (their blocks decode — they have the variance
+                    #      that decides ranking), deferred leaves stay at
+                    #      their decode-free [champ_lb, champ_ub].
+                    #   3. θ₁ = k-th largest f32(lo) over S; only docs
+                    #      with f32(hi) ≥ θ₁ survive — for those alone the
+                    #      deferred leaves decode (scores_seeded).
+                    # Lossless: lo ≤ score ≤ hi pointwise and f32 is
+                    # monotone, so every excluded doc's f32 score is
+                    # strictly below the kept k-th — no winner and no
+                    # doc_id tie-break can change (same argument as the
+                    # two-phase path; differential-tested).
+                    lb32 = ev.champ_lb(node, E).astype(np.float32)
+                    theta_lo = np.partition(lb32, -k)[-k]
+                    ubC = ev.champ_ub(node, C)
+                    S = C[ubC.astype(np.float32) >= theta_lo]
+                    if len(S) >= k:
+                        lo, hi = ev.scores_interval(node, S, defer)
+                        lo32 = lo.astype(np.float32)
+                        theta1 = np.partition(lo32, -k)[-k]
+                        S2 = S[hi.astype(np.float32) >= theta1]
+                        exact = ev.scores_seeded(node, S2)
+                        docs, scores = _topk_f32(S2, exact, k)
+                        return frame(docs, scores, scores, total)
                 if len(E) >= k:
                     lb32 = ev.champ_lb(node, E).astype(np.float32)
                     theta_lo = np.partition(lb32, -k)[-k]

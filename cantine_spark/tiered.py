@@ -187,23 +187,41 @@ class TieredIndexReader(IndexReader):
         return m
 
     def segments_df(self, spark: SparkSession) -> DataFrame:
-        """Union of tier segment tables with each tier's stored block-max
-        bound rescaled to stay a TRUE upper bound under GLOBAL-avgdl scoring
-        (factor max(1, avgdl_global/avgdl_tier) per field — monotonicity
-        proof in the module docstring). Scaling happens here, once, in the
-        plan — the kernel is tier-oblivious."""
+        """Union of tier segment tables with each tier's stored block
+        bounds rescaled to stay TRUE bounds under GLOBAL-avgdl scoring:
+        max_tfnorm × max(1, avgdl_global/avgdl_tier) stays an upper bound,
+        min_tfnorm × min(1, avgdl_global/avgdl_tier) stays a lower bound
+        (tfnorm(a2) ≥ tfnorm(a1)·min(1, a2/a1) by the same monotonicity
+        lemma, applied with the roles swapped — module docstring). Scaling
+        happens here, once, in the plan — the kernel is tier-oblivious.
+        Tiers from a pre-min_tfnorm build drop the column from the union
+        (readers fall back to the 0.0 floor)."""
         g = self.stats
         frames = []
         for d, ts in zip(self.tier_dirs, self.tier_stats):
             df = spark.read.parquet(fsutil.join(d, "segments"))
-            factors = {fld: max(1.0, g[fld]["avgdl"] / s["avgdl"])
-                       for fld, s in ts.items() if s["avgdl"] > 0}
-            if any(f > 1.0 for f in factors.values()):
+            ratios = {fld: g[fld]["avgdl"] / s["avgdl"]
+                      for fld, s in ts.items() if s["avgdl"] > 0}
+            up = {fld: r for fld, r in ratios.items() if r > 1.0}
+            if up:
                 expr = F.lit(1.0)
-                for fld, fac in factors.items():
-                    expr = F.when(F.col("field") == fld, F.lit(fac)).otherwise(expr)
+                for fld, fac in up.items():
+                    expr = F.when(F.col("field") == fld,
+                                  F.lit(fac)).otherwise(expr)
                 df = df.withColumn("max_tfnorm", F.col("max_tfnorm") * expr)
+            dn = {fld: r for fld, r in ratios.items() if r < 1.0}
+            if dn and "min_tfnorm" in df.columns:
+                expr = F.lit(1.0)
+                for fld, fac in dn.items():
+                    expr = F.when(F.col("field") == fld,
+                                  F.lit(fac)).otherwise(expr)
+                df = df.withColumn("min_tfnorm", F.col("min_tfnorm") * expr)
             frames.append(df)
+        common = set(frames[0].columns)
+        for f_ in frames[1:]:
+            common &= set(f_.columns)
+        cols = [c for c in frames[0].columns if c in common]
+        frames = [f_.select(*cols) for f_ in frames]
         return functools.reduce(lambda a, b: a.unionByName(b), frames)
 
     @cached_property
@@ -267,16 +285,21 @@ class TieredIndexReader(IndexReader):
         return self._union("champions", spark)
 
     # ----------------------------------------------- driver-tier point specs
-    def segment_point_spec(self) -> list[tuple[str, dict[str, float]]]:
-        """Per-tier segments dirs with the SAME max_tfnorm rescale factors
-        segments_df applies in the plan (max(1, avgdl_global/avgdl_tier)
-        per field) — driver-side point reads see identical bounds."""
+    def segment_point_spec(self) -> list[tuple[str, dict[str, tuple]]]:
+        """Per-tier segments dirs with the SAME bound rescale factors
+        segments_df applies in the plan — {field: (max_factor, min_factor)}
+        with max(1, r) / min(1, r) per field — so driver-side point reads
+        see identical bounds."""
         g = self.stats
         out = []
         for d, ts in zip(self.tier_dirs, self.tier_stats):
-            factors = {fld: g[fld]["avgdl"] / s["avgdl"]
-                       for fld, s in ts.items()
-                       if s["avgdl"] > 0 and g[fld]["avgdl"] / s["avgdl"] > 1.0}
+            factors = {}
+            for fld, s in ts.items():
+                if s["avgdl"] <= 0:
+                    continue
+                r = g[fld]["avgdl"] / s["avgdl"]
+                if r != 1.0:
+                    factors[fld] = (max(1.0, r), min(1.0, r))
             out.append((fsutil.join(d, "segments"), factors))
         return out
 

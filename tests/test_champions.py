@@ -296,3 +296,83 @@ def test_negative_boost_scored_exactly_on_relational_path(reader):
     assert res.total == pos.total
     worst = sorted(pos.hits, key=lambda h: (-h[1], -h[0]))[-5:]
     assert {d for d, _ in res.hits} == {d for d, _ in worst}
+
+
+# ---- r6: deferred-leaf cascade (the flat-leaf q_dismax_fielded hole) ----
+
+
+@pytest.fixture(scope="module")
+def flat_leaf_fast(spark, tmp_path_factory):
+    """An index whose shard geometry actually triggers leaf deferral: ONE
+    shard spanning 1500 docs, so the df≈N `path` leaves own ~12 blocks
+    with a flat tf-normalization profile (tail ≈ best block bound) — the
+    800k-scale shape the small shared fixtures cannot reproduce."""
+    d = str(tmp_path_factory.mktemp("flatleaf")) + "/index"
+    corpus = with_doc_ids(generate_corpus(spark, 1500, partitions=4))
+    build_index(spark, corpus, d)
+    build_segments(spark, d, shard_span=1500)
+    # champion coverage ≈ 40% of a hot term's shard postings — the regime
+    # the span-proportional default (champion_cap) maintains at scale,
+    # where the tail bound clears the tfnorm distribution's shoulder and
+    # the cascade's survivor set stays small (measured at 800k: cap
+    # span/6 → scored_frac 0.957 → 0.075, BENCH.md r6)
+    reader = IndexReader(spark, d)
+    avgdl = {f: s["avgdl"] for f, s in reader.stats.items()}
+    from cantine_spark.build.champions import write_champions
+    write_champions(spark, d, avgdl, 1500, cap=600)
+    return FastTopK(IndexReader(spark, d), use_driver=False)
+
+
+def test_cascade_defers_flat_leaves_losslessly(flat_leaf_fast):
+    """The production fielded-DisMax shape on a deferral-triggering shard:
+    bit-equal to the unseeded block path while decoding a strictly (and
+    substantially) smaller share of blocks — the flat `path` leaves'
+    blocks decode only for the post-interval-prune survivor set."""
+    for k in (1, 5, 10, 25):
+        a = flat_leaf_fast.search(FIELDED, k=k)
+        b = flat_leaf_fast.search(FIELDED, k=k, use_champions=False)
+        _same(a, b)
+        assert a.blocks_scored < 0.6 * b.blocks_scored, (
+            k, a.blocks_scored, b.blocks_scored)
+
+
+def test_cascade_randomized_tree_fuzz(flat_leaf_fast):
+    """Randomized Boolean/DisMax/Boost trees over hot+flat leaves: the
+    cascade (whenever it engages) must stay bit-equal to the unseeded
+    block path — top-k, totals, and scores."""
+    import numpy as np
+
+    rng = np.random.default_rng(76)
+    hot = ["def", "return", "self", "import", "the"]
+    flat = ["src", "py", "main"]
+
+    def leaf():
+        if rng.random() < 0.4:
+            return Term("path", flat[int(rng.integers(len(flat)))])
+        t = hot[int(rng.integers(len(hot)))]
+        f = "path" if rng.random() < 0.3 else "content"
+        node = Term(f, t)
+        if rng.random() < 0.3:
+            node = Boost(node, float(rng.uniform(0.2, 3.0)))
+        return node
+
+    def tree(depth=0):
+        r = rng.random()
+        if depth >= 2 or r < 0.35:
+            return leaf()
+        if r < 0.65:
+            return DisMax(tuple(tree(depth + 1)
+                                for _ in range(int(rng.integers(2, 4)))),
+                          float(rng.uniform(0.0, 0.5)))
+        n_m = int(rng.integers(0, 2))
+        n_s = int(rng.integers(1, 3))
+        return Boolean(musts=tuple(tree(depth + 1) for _ in range(n_m)),
+                       shoulds=tuple(tree(depth + 1) for _ in range(n_s)))
+
+    for trial in range(12):
+        node = tree()
+        k = int(rng.integers(1, 30))
+        a = flat_leaf_fast.search(node, k=k)
+        b = flat_leaf_fast.search(node, k=k, use_champions=False)
+        assert (a.hits, a.total, a.visited) == (b.hits, b.total, b.visited), (
+            trial, node)
