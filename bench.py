@@ -227,6 +227,17 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
                         # zero blocks decoded
                         "champion_served": bool(
                             res.stats.get("champion_served")),
+                        # r6: under-budget queries run entirely on the
+                        # driver (execution/driverexec — pyarrow point
+                        # reads + the same kernel closure, ZERO Spark
+                        # jobs); over-budget queries take the cluster
+                        # kernel. At sf0.1 every suite query fits the
+                        # default 2^17-posting budget; the forced-cluster
+                        # leg below is the same suite with the driver
+                        # tier disabled, so both execution tiers stay
+                        # measured.
+                        "driver_served": bool(
+                            res.stats.get("driver_served")),
                     }
         # per-query best-of-N minimum; p50 is the median of those minima
         out["queries"] = {n: round(min(v), 3) for n, v in lat.items()}
@@ -235,6 +246,25 @@ def run_build_and_queries(cores: int, n_docs: int, repeats: int = REPEATS,
         out["query_p50_ms"] = round(
             statistics.median([min(v) for v in lat.values()]) * 1000, 1)
         out["pruning"] = prune
+
+        # forced-cluster comparison leg (same engine tables, driver tier
+        # off): keeps the distributed kernel's latency measured and
+        # regression-visible even when the serving default answers the
+        # whole suite driver-side
+        eng_cluster = SearchEngine(IndexReader(spark, idx_dirs[-1]),
+                                   pin_tables=False, use_driver=False)
+        for name, q in BENCH_QUERIES:
+            eng_cluster.search(dict(q))  # warm
+        lat_c: dict[str, list[float]] = {}
+        for _ in range(repeats):
+            for name, q in BENCH_QUERIES:
+                t = time.time()
+                eng_cluster.search(dict(q))
+                lat_c.setdefault(name, []).append(time.time() - t)
+        out["queries_cluster"] = {n: round(min(v), 3)
+                                  for n, v in lat_c.items()}
+        out["query_cluster_p50_ms"] = round(
+            statistics.median([min(v) for v in lat_c.values()]) * 1000, 1)
 
         if os.environ.get("SPARK_GRAFT_QPS", "1") == "1":  # in-artifact
             # by default since r5: concurrent QPS is the serving headline
@@ -358,6 +388,9 @@ def main() -> None:
         "loadavg_at_start": result["loadavg_at_start"],
         "loadavg_at_queries": result["loadavg_at_queries"],
         "pruning": result.get("pruning", {}),
+        **({"queries_cluster": result["queries_cluster"],
+            "query_cluster_p50_ms": result["query_cluster_p50_ms"]}
+           if "queries_cluster" in result else {}),
         **({"qps": result["qps"]} if "qps" in result else {}),
         **({"qps_unbatched": result["qps_unbatched"]}
            if "qps_unbatched" in result else {}),

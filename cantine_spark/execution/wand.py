@@ -1033,7 +1033,8 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 fastfield_dir=None, shard_span: int = 0,
                 agg_spec: dict[str, list[tuple[float, float]]] | None = None,
                 filter_spec: dict[str, tuple[float, float]] | None = None,
-                with_champs: bool = False, raw: bool = False):
+                with_champs: bool = False, raw: bool = False,
+                lean: bool = False):
     """Build the per-shard applyInPandas function (closure is pickled).
 
     with_meta=True produces a COGROUP kernel: the right frame carries this
@@ -1067,7 +1068,16 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
     This is the reference's own shape: tantivy composes RangeQuery into the
     per-segment query and evaluates it against segment-local fast-field
     columns (main.rs:152-172); the r3 docmeta cogroup was the workaround
-    for not having per-shard fast fields. Requires fastfield_dir."""
+    for not having per-shard fast fields. Requires fastfield_dir.
+
+    lean=True (driver-tier callers only): emit per-shard frames WITHOUT
+    the five nullable aggregation columns when no aggregation ran — the
+    Spark paths must keep the full KERNEL_SCHEMA for Arrow, but
+    _merge_kernel_frame only reads the agg columns when agg_query is set,
+    and pandas extension-array construction is ~2 ms/shard of pure
+    overhead on the driver. Auto-disabled when agg_spec is present (agg
+    partials need the full frame on every shard to concat cleanly)."""
+    lean = lean and not agg_spec
 
     def run(shard: int, pdf: pd.DataFrame,
             meta: pd.DataFrame | None,
@@ -1129,7 +1139,7 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
             scores = np.concatenate([scores, [0.0]])
             svals = np.concatenate([np.asarray(svals, np.float64), [0.0]])
             n = len(docs)
-            out = pd.DataFrame({
+            core = {
                 "shard": np.int32(shard),
                 "doc_id": docs.astype(np.int64),
                 "score": scores,
@@ -1138,6 +1148,16 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 "shard_visited": np.int64(visited),
                 "blocks_total": np.int64(blocks_total),
                 "blocks_scored": np.int64(ev.blocks_scored),
+            }
+            if lean and (agg_pdf is None or not len(agg_pdf)):
+                # driver-tier output (raw callers merge with
+                # _merge_kernel_frame, which reads only the core columns
+                # when no aggregation ran): skip the five nullable agg
+                # columns — pandas extension-array construction cost
+                # ~2 ms per shard, ~60% of a warm driver-served query
+                return pd.DataFrame(core)
+            out = pd.DataFrame({
+                **core,
                 "feat": pd.Series([None] * n, dtype=object),
                 "range_idx": pd.Series([None] * n, dtype="Int32"),
                 "vmin": np.nan,
@@ -1655,7 +1675,7 @@ class FastTopK:
                       for f, r in agg_query.items()} if agg_query else None,
             filter_spec={f: (float(lo), float(hi))
                          for f, (lo, hi) in range_filters.items()}
-            if range_filters else None, raw=True)
+            if range_filters else None, raw=True, lean=True)
         frames = []
         if len(rows):
             for shard, g in rows.groupby("shard", sort=True):
@@ -1918,13 +1938,18 @@ class FastTopK:
                 out[i] = KernelResult(0, 0, [], agg=empty_agg)
                 continue
             self._check_sidecar_cover(agg_query, range_filters)
-            # driver tier first (same budget + fallback as search()): a
-            # batch whose queries are all under budget costs ZERO Spark
-            # jobs; mixed batches serve the small queries here and batch
-            # the rest
+            # driver tier for TINY queries only (budget/8): batched
+            # queries serve on ONE driver thread, so per-query driver cost
+            # must stay well under the shared batch kernel's amortized
+            # slice — a rare term (3 blocks, ~10 ms) wins, a hot 2-field
+            # DisMax (~100 ms of GIL-bound decode) would SERIALIZE the
+            # batch and collapse concurrent QPS (measured: 13.7 → 2.1 qps
+            # at 16 threads when every suite query driver-served in-batch).
+            # Solo search() keeps the full budget — one caller, latency-
+            # optimal either way.
             if (self.use_driver
                     and sum(dfs[ft] for ft in idfs)
-                    <= self.driver_max_postings):
+                    <= self.driver_max_postings // 8):
                 use_champs = (use_champions and self._champ is not None
                               and after is None and not ascending
                               and sort_feature is None
