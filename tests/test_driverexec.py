@@ -103,6 +103,33 @@ def test_budget_gates_driver_tier(reader):
     assert single.driver_served and single.champion_served
 
 
+def test_admission_spills_midsize_to_cluster(reader):
+    """Concurrency admission: a MID-SIZE query (> budget/8 postings) takes
+    the driver tier only when a permit is free — with both permits held
+    (two mid-size driver executions in flight) it spills to the cluster
+    kernel with identical results; tiny queries always drive."""
+    fd = FastTopK(reader)
+    dfs = fd.executor.term_dfs(
+        [("content", "def"), ("path", "def")])
+    total = sum(dfs.values())
+    mid = FastTopK(reader, driver_max_postings=total)  # budget/8 < total
+    ref = mid.search(SHAPES["dismax"], k=5)
+    assert ref.driver_served
+    assert mid._driver_permits.acquire(blocking=False)
+    assert mid._driver_permits.acquire(blocking=False)
+    try:
+        spilled = mid.search(SHAPES["dismax"], k=5)
+        assert not spilled.driver_served  # both permits busy → cluster
+        _same(spilled, ref)
+        # tiny queries are exempt from admission (even serialized they
+        # beat a scheduler round-trip)
+        assert fd.search(SHAPES["term"], k=5).driver_served
+    finally:
+        mid._driver_permits.release()
+        mid._driver_permits.release()
+    assert mid.search(SHAPES["dismax"], k=5).driver_served
+
+
 def test_unreadable_spec_falls_back_to_cluster(reader, monkeypatch):
     fd = FastTopK(reader)
     ref = fd.search(SHAPES["dismax"], k=5)
