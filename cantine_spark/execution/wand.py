@@ -1217,7 +1217,17 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
             # block-max pruned path (page 1, relevance desc — the hot case)
             seed_n = max(4 * k, seed_min)
             if total <= seed_n:
-                sc = ev.scores(node, C)
+                # small candidate set: score everything exactly. With
+                # champion heads resident, head docs' tf/dl come from the
+                # sidecar decode-free (scores_seeded — same arithmetic,
+                # differential-tested), so only blocks holding a NON-head
+                # candidate decode. This is the q_must_not shape: a hot
+                # term thinned by exclusion to a few spread candidates per
+                # shard, where every candidate used to cost its block.
+                if champs is not None and ev.champ_ok(node):
+                    sc = ev.scores_seeded(node, C)
+                else:
+                    sc = ev.scores(node, C)
                 docs, scores = _topk_f32(C, sc, k)
                 return frame(docs, scores, scores, total)
             if champs is not None and ev.champ_ok(node):
@@ -1241,6 +1251,23 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 # (differential-tested vs the unseeded kernel).
                 E = np.intersect1d(ev.champ_seed(node), C,
                                    assume_unique=True)
+                if len(E) < seed_n:
+                    # seed TOP-UP (r6): MustNot exclusion (or a small
+                    # head ∩ C overlap) can thin the champion seed below
+                    # k, which used to drop the whole shard to the
+                    # unseeded full sweep (q_must_not scored 49.5% of
+                    # blocks: ~every shard fell back). The seed only
+                    # determines θ quality — never correctness — so top
+                    # it up with the candidates whose champion UPPER
+                    # bound is largest: they are exactly the docs that
+                    # could not be pruned anyway, and exact-scoring them
+                    # first makes θ as tight as this shard allows.
+                    rest = np.setdiff1d(C, E, assume_unique=True)
+                    take = min(len(rest), seed_n - len(E))
+                    if take:
+                        ub_r = ev.champ_ub(node, rest)
+                        top = rest[np.argpartition(-ub_r, take - 1)[:take]]
+                        E = np.union1d(E, top)
                 defer = ev.defer_leaves(node)
                 if len(E) >= k and defer:
                     # deferred-leaf CASCADE (r6, VERDICT r5 #1): a flat
