@@ -466,6 +466,71 @@ LIMIT {k}
 
 
 # ======================================================================
+# similarity: embedding near-dup via random-hyperplane LSH
+# ======================================================================
+
+def embed_near_dup(spark, sf_dir, threshold=0.4) -> DataFrame:
+    """Cosine-near-dup pairs through the REAL LSH operator
+    (operators/dedup.embedding_near_dups: seeded random-hyperplane sign
+    sketch → banded bucket equi-join → exact cosine verify — never an
+    all-pairs product). The oracle replays the SAME seeded planes in SQL,
+    so both sides return the same deterministic candidate subset; τ=0.4
+    because the synthetic embeddings' max pairwise cosine is ~0.51 (no
+    planted near-dups), which keeps the result non-trivial while still
+    exercising sketch, banding, join, and verify."""
+    from cantine_spark.operators.dedup import embedding_near_dups
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dups(emb, vec_col="embedding", id_col="vec_id",
+                                dim=64, n_planes=16, bands=4,
+                                threshold=threshold, seed=42)
+    return (pairs.select("a", "b", F.round("cosine", 5).alias("cosine"))
+            .orderBy("a", "b"))
+
+
+def embed_near_dup_sql(threshold=0.4, n_planes=16, bands=4,
+                       dim=64, seed=42) -> str:
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))  # same as the operator
+    per_band = n_planes // bands
+
+    def dot(p):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        return ("list_sum(list_transform(list_zip(embedding, " + lit
+                + "), p -> CAST(p[1] AS DOUBLE) * p[2]))")
+
+    bkts = []
+    for b in range(bands):
+        bits = [
+            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** (per_band - 1 - i)} "
+            "ELSE 0 END)"
+            for i, p in enumerate(range(b * per_band, (b + 1) * per_band))]
+        bkts.append("(" + " + ".join(bits) + f") AS bkt{b}")
+    cand = "\n  UNION\n  ".join(
+        f"SELECT l.vec_id AS a, r.vec_id AS b FROM sk l JOIN sk r "
+        f"ON l.bkt{b} = r.bkt{b} AND l.vec_id < r.vec_id"
+        for b in range(bands))
+    return f"""
+WITH sk AS (SELECT vec_id, embedding, {", ".join(bkts)} FROM embeddings),
+cand AS (
+  {cand}
+),
+v AS (SELECT c.a, c.b,
+  list_sum(list_transform(list_zip(la.embedding, lb.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * p[2]))
+  / (sqrt(list_sum(list_transform(la.embedding,
+                                  x -> CAST(x AS DOUBLE) * x)))
+     * sqrt(list_sum(list_transform(lb.embedding,
+                                    x -> CAST(x AS DOUBLE) * x)))) AS cos
+  FROM cand c
+  JOIN embeddings la ON la.vec_id = c.a
+  JOIN embeddings lb ON lb.vec_id = c.b)
+SELECT a, b, ROUND(cos, 5) AS cosine FROM v
+WHERE cos >= {threshold} ORDER BY a, b
+"""
+
+
+# ======================================================================
 # events: tumbling-window aggregation (batch form)
 # ======================================================================
 
@@ -1484,6 +1549,9 @@ QUERIES = {
     "lang_id": (lang_id, lang_id_sql()),
     "token_counts": (token_counts, token_counts_sql()),
     "ann_cosine_topk": (ann_cosine_topk, ann_cosine_topk_sql()),
+    # r6: the LSH embedding-dedup operator, oracle-checked by replaying
+    # the same seeded hyperplanes in SQL (was pytest-only)
+    "embed_near_dup": (embed_near_dup, embed_near_dup_sql()),
     "events_hourly": (events_hourly, events_hourly_sql()),
     # formerly rows-only; now oracle-checked (r1 VERDICT items 4 & 7)
     "simhash_pairs": (simhash_pairs, simhash_pairs_sql()),
