@@ -1071,14 +1071,12 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
     columns (main.rs:152-172); the r3 docmeta cogroup was the workaround
     for not having per-shard fast fields. Requires fastfield_dir.
 
-    lean=True (driver-tier callers only): emit per-shard frames WITHOUT
-    the five nullable aggregation columns when no aggregation ran — the
-    Spark paths must keep the full KERNEL_SCHEMA for Arrow, but
-    _merge_kernel_frame only reads the agg columns when agg_query is set,
-    and pandas extension-array construction is ~2 ms/shard of pure
-    overhead on the driver. Auto-disabled when agg_spec is present (agg
-    partials need the full frame on every shard to concat cleanly)."""
-    lean = lean and not agg_spec
+    lean=True (driver-tier callers only): emit per-shard output as raw
+    numpy column dicts — `(core_dict, agg_pdf|None)` — instead of pandas
+    frames. The Spark paths must keep the full KERNEL_SCHEMA for Arrow,
+    but on the driver 32 per-shard DataFrame constructions were ~37% of a
+    warm query's wall time; _lean_concat assembles ONE frame per query
+    from the dicts."""
 
     def run(shard: int, pdf: pd.DataFrame,
             meta: pd.DataFrame | None,
@@ -1150,13 +1148,20 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
                 "blocks_total": np.int64(blocks_total),
                 "blocks_scored": np.int64(ev.blocks_scored),
             }
-            if lean and (agg_pdf is None or not len(agg_pdf)):
-                # driver-tier output (raw callers merge with
-                # _merge_kernel_frame, which reads only the core columns
-                # when no aggregation ran): skip the five nullable agg
-                # columns — pandas extension-array construction cost
-                # ~2 ms per shard, ~60% of a warm driver-served query
-                return pd.DataFrame(core)
+            if lean:
+                # driver-tier output: raw numpy column dict (+ this
+                # shard's agg partial frame, if any) — no per-shard
+                # pandas construction; _lean_concat builds ONE frame per
+                # query. Profiled: 32 per-shard pd.DataFrame
+                # constructions were ~37% of a warm driver-served
+                # query's wall time. Scalars broadcast here so
+                # concatenation is a plain np.concatenate per column.
+                core_b = {kk: (vv if isinstance(vv, np.ndarray)
+                               else np.full(n, vv))
+                          for kk, vv in core.items()}
+                return (core_b,
+                        agg_pdf if agg_pdf is not None and len(agg_pdf)
+                        else None)
             out = pd.DataFrame({
                 **core,
                 "feat": pd.Series([None] * n, dtype=object),
@@ -1370,6 +1375,27 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return run(int(key[0]), pdf, None)
     return kernel
+
+
+def _lean_concat(parts: list) -> pd.DataFrame:
+    """ONE DataFrame from the lean kernel's per-shard `(core_dict,
+    agg_pdf|None)` outputs. Core columns concatenate as numpy; agg
+    partials (already small per-shard frames) concatenate once and join
+    as `doc_id == -2` rows — _merge_kernel_frame reads only the agg
+    columns from those rows and only the core columns elsewhere, so the
+    NaN fill from the disjoint-column concat is never observed."""
+    if not parts:
+        return _empty_kernel_frame()
+    core = pd.DataFrame({c: np.concatenate([p[0][c] for p in parts])
+                         for c in parts[0][0]})
+    aggs = [p[1] for p in parts if p[1] is not None]
+    if not aggs:
+        return core
+    a = pd.concat(aggs, ignore_index=True)
+    a["doc_id"] = np.int64(-2)
+    a["range_idx"] = a["range_idx"].astype("Int32")
+    a["cnt"] = a["cnt"].astype("Int64")
+    return pd.concat([core, a], ignore_index=True)
 
 
 def _merge_kernel_frame(pdf: pd.DataFrame, k: int, ascending: bool,
@@ -1717,10 +1743,8 @@ class FastTopK:
                     cg = champs_pdf[champs_pdf["shard"].to_numpy() == shard]
                     ch = cg if len(cg) else None
                 frames.append(run(int(shard), g, None, champs=ch))
-        pdf = (pd.concat(frames, ignore_index=True) if frames
-               else _empty_kernel_frame())
-        res = _merge_kernel_frame(pdf, k, ascending, sort_feature,
-                                  agg_query, empty_agg)
+        res = _merge_kernel_frame(_lean_concat(frames), k, ascending,
+                                  sort_feature, agg_query, empty_agg)
         res.driver_served = True
         return res
 
