@@ -1082,6 +1082,16 @@ def make_kernel(node: QueryNode, idfs: dict, avgdl: dict, k: int,
             meta: pd.DataFrame | None,
             champs: pd.DataFrame | None = None) -> pd.DataFrame:
         if not len(pdf):
+            # lean callers expect (core_dict, agg) tuples — an empty
+            # pandas frame here would poison _lean_concat's assembly
+            if lean:
+                return ({c: np.empty(0, np.int64)
+                         for c in ("shard", "doc_id")} | {
+                        c: np.empty(0, np.float64)
+                        for c in ("score", "sort_val")} | {
+                        c: np.empty(0, np.int64)
+                        for c in ("shard_total", "shard_visited",
+                                  "blocks_total", "blocks_scored")}, None)
             return _empty_kernel_frame()
         ev = _ShardEval(pdf, idfs, avgdl, champs=champs)
         blocks_total = len(pdf)
