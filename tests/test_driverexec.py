@@ -187,6 +187,44 @@ def test_batched_all_driver_and_mixed(pair, reader):
         _same(x, y)
 
 
+def test_zero_match_and_lean_concat_shapes(pair):
+    """A query whose terms exist nowhere: driver tier must return an empty
+    result identical to the cluster kernel (exercises _lean_concat([])).
+    Also pin _lean_concat's assembly directly: core dicts only, and core
+    dicts + agg partial frames (doc_id == -2 rows, extension dtypes)."""
+    import numpy as np
+    import pandas as pd
+
+    from cantine_spark.execution.wand import _lean_concat
+
+    fd, fc = pair
+    ghost = Term("content", "zzznosuchtermzzz")
+    a, b = fd.search(ghost, k=5), fc.search(ghost, k=5)
+    assert a.hits == [] and a.total == 0
+    _same(a, b)
+
+    def core(shard, docs):
+        n = len(docs)
+        return {"shard": np.full(n, shard, np.int32),
+                "doc_id": np.asarray(docs, np.int64),
+                "score": np.ones(n), "sort_val": np.ones(n),
+                "shard_total": np.full(n, n - 1, np.int64),
+                "shard_visited": np.full(n, n - 1, np.int64),
+                "blocks_total": np.full(n, 2, np.int64),
+                "blocks_scored": np.full(n, 1, np.int64)}
+
+    plain = _lean_concat([(core(0, [3, -1]), None), (core(1, [7, -1]), None)])
+    assert len(plain) == 4 and "feat" not in plain.columns
+
+    agg = pd.DataFrame({"feat": ["f"], "range_idx": [0],
+                        "vmin": [1.0], "vmax": [2.0], "cnt": [5]})
+    mixed = _lean_concat([(core(0, [3, -1]), agg), (core(1, [-1]), None)])
+    arows = mixed[mixed["doc_id"] == -2]
+    assert len(arows) == 1 and int(arows["cnt"].iloc[0]) == 5
+    assert str(arows["range_idx"].dtype) == "Int32"
+    assert len(mixed[mixed["doc_id"] == -1]) == 2  # per-shard count rows
+
+
 def test_row_cache_invalidation_on_reencode(spark, tmp_path):
     """An in-place re-encode must not serve stale driver-tier caches."""
     from cantine_spark.build.builder import build_index
