@@ -50,6 +50,7 @@ per-kernel working set; size span explicitly when executors are small.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from dataclasses import dataclass, field as dc_field
@@ -850,10 +851,20 @@ def _empty_kernel_frame() -> pd.DataFrame:
 # versioned dir), so (path, cols) identifies the bytes; mtime is added to
 # the key where stat() works (local fs) as belt-and-braces.
 _FF_CACHE: dict[tuple, tuple[np.ndarray, dict]] = {}
-_FF_CACHE_CAP = 64
+# Byte-budgeted, not entry-capped (r7): the old 64-entry FIFO thrashed as
+# soon as one serving process touched >64 (shard, column-set) combinations —
+# at 50k docs the bench's filtered + agg queries alone hold 49 shards × 2
+# column sets = 98 working-set entries, so EVERY q_filtered/q_agg repeat
+# re-opened all 49 sidecar files (~0.15 s/query re-read, measured). A byte
+# budget scales with shard size instead of entry count: small shards keep
+# hundreds of entries, huge shards keep few — either way bounded memory.
+_FF_CACHE_BUDGET = 256 << 20  # bytes of cached numpy arrays per process
+_FF_CACHE_BYTES = 0
+_FF_LOCK = threading.Lock()
 
 
 def _read_ff_shard(path: str, cols: tuple[str, ...]):
+    global _FF_CACHE_BYTES
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
@@ -870,9 +881,16 @@ def _read_ff_shard(path: str, cols: tuple[str, ...]):
            .to_table(columns=["doc_id", *cols]).to_pandas())
     out = (pdf["doc_id"].to_numpy(np.int64),
            {c: pdf[c].to_numpy(np.float64) for c in cols})
-    if len(_FF_CACHE) >= _FF_CACHE_CAP:
-        _FF_CACHE.pop(next(iter(_FF_CACHE)))
-    _FF_CACHE[key] = out
+    nbytes = out[0].nbytes + sum(v.nbytes for v in out[1].values())
+    # lock: concurrent driver-tier queries share this cache in one process
+    # (the same race ADVICE r6 flagged on the driverexec caches)
+    with _FF_LOCK:
+        while _FF_CACHE and _FF_CACHE_BYTES + nbytes > _FF_CACHE_BUDGET:
+            old = _FF_CACHE.pop(next(iter(_FF_CACHE)))  # FIFO eviction
+            _FF_CACHE_BYTES -= (old[0].nbytes
+                                + sum(v.nbytes for v in old[1].values()))
+        _FF_CACHE[key] = out
+        _FF_CACHE_BYTES += nbytes
     return out
 
 
@@ -1426,7 +1444,12 @@ def _merge_kernel_frame(pdf: pd.DataFrame, k: int, ascending: bool,
     bs = int(per_shard["blocks_scored"].sum())
     agg_out = None
     if agg_query:
-        apdf = pdf[pdf["doc_id"] == -2]
+        # lean frames with ZERO agg partials (every shard's candidate set
+        # empty) carry only core columns — treat as all-empty buckets
+        # instead of KeyError-ing on apdf["feat"] (ADVICE r6 medium)
+        apdf = (pdf[pdf["doc_id"] == -2] if "feat" in pdf.columns
+                else pdf.iloc[0:0].assign(feat=None, range_idx=None,
+                                          cnt=None, vmin=None, vmax=None))
         agg_out = {}
         for f_, rs in agg_query.items():
             stats_f = []
@@ -1514,6 +1537,20 @@ def champ_tree_ok(node: QueryNode) -> bool:
 
 
 # ===================================================================== driver
+
+_log = logging.getLogger(__name__)
+# process-wide count of driver-tier executions that failed and silently
+# spilled to the cluster kernel (ADVICE r6: every swallowed exception here
+# degrades to a correct-but-slow query with zero signal — bench and tests
+# read this counter to catch unexpected driver-tier failures)
+DRIVER_TIER_FALLBACKS = 0
+
+
+def _note_driver_fallback(where: str) -> None:
+    global DRIVER_TIER_FALLBACKS
+    DRIVER_TIER_FALLBACKS += 1
+    _log.debug("driver-tier %s failed; falling back to the cluster kernel",
+               where, exc_info=True)
 
 
 @dataclass
@@ -1701,7 +1738,8 @@ class FastTopK:
                     res.driver_served = True
                 return res
             except Exception:
-                pass  # unreadable sidecar path → Spark fallback below
+                # unreadable sidecar path → Spark fallback below
+                _note_driver_fallback("champion read")
         avgdl_now = float(self.avgdl_by_field[field])
         kern = make_champion_kernel(idf, avgdl_now, factor, k)
         job = (self._champ
@@ -1878,7 +1916,8 @@ class FastTopK:
                         agg_query, range_filters, seed_min,
                         use_champs, empty_agg)
                 except Exception:
-                    pass  # unreadable path / stale layout → cluster kernel
+                    # unreadable path / stale layout → cluster kernel
+                    _note_driver_fallback("search")
                 finally:
                     if not tiny:
                         self._driver_permits.release()
@@ -2047,7 +2086,7 @@ class FastTopK:
                         use_champs, empty_agg)
                     continue
                 except Exception:
-                    pass
+                    _note_driver_fallback("search_many")
             ctx = dict(node=node, k=k, after=after, ascending=ascending,
                        sort_feature=sort_feature, agg_query=agg_query,
                        range_filters=range_filters,
@@ -2077,6 +2116,7 @@ class FastTopK:
                     res = _champ_verify(
                         self._champ_frames_driver(f_, t_, idf, fac, k), k)
                 except Exception:
+                    _note_driver_fallback("batched champion read")
                     break
                 del champ_direct[i]
                 if res is not None:

@@ -225,6 +225,58 @@ def test_zero_match_and_lean_concat_shapes(pair):
     assert len(mixed[mixed["doc_id"] == -1]) == 2  # per-shard count rows
 
 
+def test_agg_with_zero_matches_stays_on_driver(pair):
+    """ADVICE r6 (medium): a lean driver-tier frame with agg_query but ZERO
+    agg partials (filter excludes every doc) used to KeyError in
+    _merge_kernel_frame and silently fall back to the cluster. It must be
+    driver-served with all-empty agg buckets, equal to the cluster path."""
+    from cantine_spark.execution import wand
+
+    fd, fc = pair
+    kw = dict(k=5, range_filters={"num_lines": (1e9, 2e9)},  # matches nothing
+              agg_query={"content_bytes": [(0.0, 2000.0), (2000.0, 1e12)]})
+    before = wand.DRIVER_TIER_FALLBACKS
+    a = fd.search(SHAPES["term"], **kw)
+    assert wand.DRIVER_TIER_FALLBACKS == before, \
+        "driver tier silently fell back (lean zero-agg regression)"
+    assert a.driver_served and a.hits == []
+    assert a.agg == {"content_bytes": [(0, None, None), (0, None, None)]}
+    _same(a, fc.search(SHAPES["term"], **kw), agg=True)
+
+
+def test_generation_key_invalidates_nonposix_rebuild(spark, tmp_path,
+                                                     monkeypatch):
+    """VERDICT r6 #1: on a non-posix store (file:// URI — os.stat fails on
+    it) an in-place rebuild must not serve stale driver-tier caches even
+    when the writer never calls invalidate_caches (separate-process
+    writer). The cache key carries the manifest generation."""
+    from cantine_spark.build.builder import build_index
+    from cantine_spark.corpus import generate_corpus, with_doc_ids
+
+    d = str(tmp_path / "idx")
+    build_index(spark, with_doc_ids(generate_corpus(spark, 60,
+                                                    partitions=2)), d)
+    uri = "file://" + d
+    fd = FastTopK(IndexReader(spark, uri))
+    a = fd.search(SHAPES["term"], k=5)
+    assert a.driver_served and a.total > 0
+    # rebuild in place with a DIFFERENT corpus, writer never invalidates
+    # (monkeypatch simulates the separate-process writer; both segment and
+    # champion writers resolve invalidate_caches through this module attr)
+    monkeypatch.setattr(driverexec, "invalidate_caches", lambda: None)
+    import shutil
+    shutil.rmtree(d)
+    build_index(spark, with_doc_ids(generate_corpus(spark, 90,
+                                                    partitions=2)), d)
+    fd2 = FastTopK(IndexReader(spark, uri))
+    b = fd2.search(SHAPES["term"], k=5)
+    assert b.driver_served
+    ref = FastTopK(IndexReader(spark, uri), use_driver=False).search(
+        SHAPES["term"], k=5)
+    _same(b, ref)
+    assert b.total != a.total  # really the new index, not the stale cache
+
+
 def test_row_cache_invalidation_on_reencode(spark, tmp_path):
     """An in-place re-encode must not serve stale driver-tier caches."""
     from cantine_spark.build.builder import build_index
