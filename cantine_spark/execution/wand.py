@@ -1599,6 +1599,12 @@ class FastTopK:
     # tests; bench's forced-cluster comparison leg).
     use_driver: bool = True
     driver_max_postings: int = driverexec.DRIVER_MAX_POSTINGS
+    # concurrent mid-size driver executions allowed before spilling to the
+    # cluster (constructor-exposed, VERDICT r6 #3): driver execution is
+    # GIL-bound numpy, so this bounds interpreter serialization under load;
+    # 2 ≈ the point where a third concurrent mid-size query beats the
+    # cluster's scheduler round-trip only if the first two finish first
+    driver_permits: int = 2
     avgdl_by_field: dict = dc_field(init=False)
 
     def __post_init__(self):
@@ -1611,7 +1617,13 @@ class FastTopK:
         # gate in search()): at most 2 GIL-bound driver executions in
         # flight; excess concurrent callers spill to the cluster kernel,
         # which parallelizes across executors instead of one interpreter
-        self._driver_permits = threading.Semaphore(2)
+        self._driver_permits = threading.Semaphore(self.driver_permits)
+        # concurrent search() calls in this engine right now — the LARGE
+        # driver-tier admission gate (see search()): large queries only
+        # drive when nothing else is in flight, so their ~200 ms of held
+        # GIL can never starve concurrent serving traffic
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         # latency knobs for the tiny kernel shuffle (measured at local[32],
         # hot term: AQE's extra re-plan round-trip + 32 micro-reducers cost
         # ~0.4s; 8 reducers with AQE off run the same job in ~0.85s).
@@ -1806,6 +1818,29 @@ class FastTopK:
                range_filters: dict[str, tuple] | None = None,
                use_champions: bool = True,
                ) -> KernelResult:
+        """Public entry — tracks in-flight concurrency around _search (the
+        large driver-tier admission gate reads it); see _search for the
+        full contract."""
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            return self._search(node, k, after, ascending, preds,
+                                sort_feature, seed_min, agg_query,
+                                range_filters, use_champions)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+
+    def _search(self, node: QueryNode, k: int = 10,
+                after: tuple[float, int] | None = None,
+                ascending: bool = False,
+                preds: list | None = None,
+                sort_feature: str | None = None,
+                seed_min: int = SEED_MIN,
+                agg_query: dict[str, list[tuple]] | None = None,
+                range_filters: dict[str, tuple] | None = None,
+                use_champions: bool = True,
+                ) -> KernelResult:
         """range_filters: {feat: (lo, hi)} half-open null-excluding range
         filters, evaluated IN-KERNEL against the shard-local sidecar (r4) —
         the reference's own shape (RangeQuery composed into the ONE
@@ -1896,31 +1931,46 @@ class FastTopK:
         # on ONE process, so N concurrent mid-size driver queries serialize
         # while the 32-core cluster sits idle — measured: 16-thread
         # unbatched HTTP qps collapsed 9.2 → 1.6 when every suite query
-        # drove. Tiny queries (≤ budget/8 postings, ~10 ms) always drive —
-        # even fully serialized they out-throughput a scheduler round-trip.
-        # Mid-size queries take the driver tier only if one of the
-        # _driver_permits is free RIGHT NOW (non-blocking), else they take
-        # the cluster kernel: latency-optimal solo, throughput-safe at
-        # saturation, no tuning knob that breaks at a different load.
+        # drove. Three tiers (r7, crossover-sized — VERDICT r6 #3):
+        # - tiny (≤ budget/8, ~10 ms): always drive — even fully serialized
+        #   they out-throughput a scheduler round-trip;
+        # - mid (≤ budget/2, ≲100 ms): need ONE free permit RIGHT NOW
+        #   (non-blocking), else cluster;
+        # - large (≤ budget, ~100-250 ms of GIL): need EVERY permit — they
+        #   drive when the tier is otherwise idle (solo latency 0.19 s vs
+        #   0.45-0.53 s cluster, measured) but spill under concurrency
+        #   (measured: flat-admitting them dropped 16-thread qps 8.1 → 5.0).
+        # Latency-optimal solo, throughput-safe at saturation, no tuning
+        # knob that breaks at a different load.
+        total_postings = sum(dfs[ft] for ft in live)
         if (self.use_driver and not preds
                 and (sort_feature is None or use_ff_sort)
-                and sum(dfs[ft] for ft in live) <= self.driver_max_postings):
-            tiny = (sum(dfs[ft] for ft in live)
-                    <= self.driver_max_postings // 8)
-            admitted = tiny or self._driver_permits.acquire(blocking=False)
-            if admitted:
-                try:
+                and total_postings <= self.driver_max_postings):
+            tiny = total_postings <= min(driverexec.DRIVER_TINY_POSTINGS,
+                                         self.driver_max_postings // 8)
+            large = total_postings > self.driver_max_postings // 2
+            need = 0 if tiny else self.driver_permits if large else 1
+            # large queries additionally require an otherwise-idle engine:
+            # holding every permit for ~200 ms of GIL is fine solo but
+            # starves concurrent serving traffic (measured 8.1 → 5.0 qps)
+            got = 0
+            if not (large and self._inflight > 1):
+                while (got < need
+                       and self._driver_permits.acquire(blocking=False)):
+                    got += 1
+            try:
+                if got == need:
                     return self._driver_search(
                         node, live, idfs, k, after, ascending,
                         sort_feature if use_ff_sort else None,
                         agg_query, range_filters, seed_min,
                         use_champs, empty_agg)
-                except Exception:
-                    # unreadable path / stale layout → cluster kernel
-                    _note_driver_fallback("search")
-                finally:
-                    if not tiny:
-                        self._driver_permits.release()
+            except Exception:
+                # unreadable path / stale layout → cluster kernel
+                _note_driver_fallback("search")
+            finally:
+                for _ in range(got):
+                    self._driver_permits.release()
         kernel = make_kernel(
             node, idfs, self.avgdl_by_field, k, after, ascending,
             seed_min=seed_min, with_meta=with_meta, sort_field=sort_feature,
@@ -2073,7 +2123,8 @@ class FastTopK:
             # optimal either way.
             if (self.use_driver
                     and sum(dfs[ft] for ft in idfs)
-                    <= self.driver_max_postings // 8):
+                    <= min(driverexec.DRIVER_TINY_POSTINGS,
+                           self.driver_max_postings // 8)):
                 use_champs = (use_champions and self._champ is not None
                               and after is None and not ascending
                               and sort_feature is None

@@ -130,6 +130,25 @@ def test_admission_spills_midsize_to_cluster(reader):
     assert mid.search(SHAPES["dismax"], k=5).driver_served
 
 
+def test_admission_permits_constructor_exposed(reader):
+    """r7 (VERDICT r6 #3): the permit count is a constructor knob; with
+    driver_permits=1 a single held permit spills mid-size queries."""
+    fd = FastTopK(reader)
+    dfs = fd.executor.term_dfs([("content", "def"), ("path", "def")])
+    total = sum(dfs.values())
+    one = FastTopK(reader, driver_max_postings=total, driver_permits=1)
+    ref = one.search(SHAPES["dismax"], k=5)
+    assert ref.driver_served
+    assert one._driver_permits.acquire(blocking=False)
+    assert not one._driver_permits.acquire(blocking=False)  # only 1 permit
+    try:
+        spilled = one.search(SHAPES["dismax"], k=5)
+        assert not spilled.driver_served
+        _same(spilled, ref)
+    finally:
+        one._driver_permits.release()
+
+
 def test_unreadable_spec_falls_back_to_cluster(reader, monkeypatch):
     fd = FastTopK(reader)
     ref = fd.search(SHAPES["dismax"], k=5)
