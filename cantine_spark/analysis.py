@@ -50,20 +50,26 @@ def tokenize_text(text: str) -> list[str]:
     return _tokens_faithful(text)
 
 
-@pandas_udf(ArrayType(StringType()))
-def tokens_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized tokenizer. ASCII fast path (the overwhelmingly common
-    case for code): lowercase + findall are whole-batch pandas str kernels,
-    and byte length == char length so the filter is a cheap len(). Non-ASCII
-    rows take the faithful slow path (_tokens_faithful)."""
+def tokenize_series(texts: pd.Series) -> list[list[str]]:
+    """Vectorized tokenizer core — ONE semantics for every index-side
+    consumer (tokens_udf and the builder's fused tokenize+features pass).
+    ASCII fast path (the overwhelmingly common case for code): lowercase +
+    findall are whole-batch pandas str kernels, and byte length == char
+    length so the filter is a cheap len(). Non-ASCII rows take the
+    faithful slow path (_tokens_faithful)."""
     toks = texts.str.lower().str.findall(TOKEN_RE)
-    out = [
+    return [
         [] if s is None
         else ([t for t in ts if len(t) < MAX_TOKEN_BYTES] if s.isascii()
               else _tokens_faithful(s))
         for s, ts in zip(texts, toks)
     ]
-    return pd.Series(out, index=texts.index)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokens_udf(texts: pd.Series) -> pd.Series:
+    """Arrow pandas_udf wrapper over tokenize_series."""
+    return pd.Series(tokenize_series(texts), index=texts.index)
 
 
 def tokens_col(content_col: str = "content"):

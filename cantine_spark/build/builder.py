@@ -26,11 +26,35 @@ pruning properties via hash buckets + sorted row groups):
   index_stats/ one row per field: n_docs, total_len, avgdl (C1 inputs).
   manifest.json  lineage + per-stage metrics.
 
+r7 pipeline shape (optimization guide §1/§2.4/§2.6 — fewer passes, fewer
+shuffles, overlapped independent jobs; per-stage numbers in
+OPTIMIZATION_r07.md):
+
+  tokenized/   ONE fused mapInPandas pass per corpus partition emits the
+               analyzed tokens (space-joined strings — a list<string>
+               column costs ~10× through Arrow + parquet list assembly)
+               PLUS every docmeta numeric feature, computed vectorized in
+               the same batch that already holds the token lists. The
+               docs/docmeta stages are then pure column selects of this
+               table — the old JVM array-ops re-computation (which ran
+               TWICE per stage: once for repartitionByRange's sampling
+               pass, once for the write) is gone, and so are both range
+               shuffles: tokenized partitions are already doc_id-ordered
+               (doc_id = dense rank materialized upstream), so a local
+               sort keeps parquet min/max pruning intact.
+  docs / docmeta / postings run CONCURRENTLY on driver threads (all three
+               read only tokenized/): Spark back-fills the tail of one
+               job's stage with the next job's tasks (FIFO scheduling).
+  term_stats/  derived from the champion sidecar (one row per (field,
+               term, shard) carrying n_total=df and cf) instead of
+               re-scanning the full postings table.
+  segments stage: single-shuffle fused encode — see build/segments.py.
+
 Skew (SURVEY §7.4 risk 3): hot terms (code keywords) concentrate rows in a
-few (field, term) keys. The groupBy key here is (field, term, doc_id) —
-fine-grained, so the build agg itself does not skew; the *write* is spread by
-salting the shuffle with doc_id before partitionBy, so no single task owns a
-hot bucket. Per-partition row metrics land in the manifest.
+few (field, term) keys. The postings write is spread by salting the shuffle
+with doc_id before partitionBy, so no single task owns a hot bucket; the
+segment encode key includes shard, so a stopword's postings split over all
+doc shards. Per-partition row metrics land in the manifest.
 """
 
 from __future__ import annotations
@@ -38,6 +62,7 @@ from __future__ import annotations
 import hashlib
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,12 +70,109 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cantine_spark import fsutil
-from cantine_spark.analysis import tokens_udf
 
 TEXT_FIELDS = ("content", "path")  # multi-field index (C6 analog of
 # cantine's name/ingredients/instructions, cantine/src/index.rs:195-197)
 N_BUCKETS = 64
 WRITE_SALT = 8
+
+# docmeta column order — pinned (features derive from this schema at open)
+DOCMETA_COLS = (
+    "doc_id", "repo", "path", "lang", "doc_len_content", "doc_len_path",
+    "num_tokens", "num_lines", "content_bytes", "num_functions",
+    "num_imports", "comment_ratio", "avg_line_len", "max_line_len")
+
+# fused tokenize+features output (stage "tokenized"): original corpus
+# columns + joined-token strings + every docmeta numeric
+TOKFEAT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), False),
+    T.StructField("lang", T.StringType(), False),
+    T.StructField("content", T.StringType(), False),
+    T.StructField("_content_tokens", T.StringType(), False),
+    T.StructField("_path_tokens", T.StringType(), False),
+    T.StructField("doc_len_content", T.LongType(), False),
+    T.StructField("doc_len_path", T.LongType(), False),
+    T.StructField("num_tokens", T.LongType(), False),
+    T.StructField("num_lines", T.LongType(), False),
+    T.StructField("content_bytes", T.LongType(), False),
+    T.StructField("num_functions", T.LongType(), True),
+    T.StructField("num_imports", T.LongType(), True),
+    T.StructField("comment_ratio", T.DoubleType(), True),
+    T.StructField("avg_line_len", T.DoubleType(), False),
+    T.StructField("max_line_len", T.LongType(), False),
+])
+
+_KEYWORDS = frozenset(("def", "fn", "func"))
+_IMPORTS = frozenset(("import", "include", "use"))
+
+
+def _tokfeat_batches(batches):
+    """Tokenize + per-doc numeric features, one vectorized pass (the token
+    lists are in hand here, so counting over them is free compared to the
+    old separate JVM array-ops stage). Tokens serialize as space-joined
+    strings: the token alphabet is [^\\W_]+ so no token can contain
+    whitespace and `s.split()` round-trips exactly ([] for empty).
+    Feature semantics are bit-for-bit the old _docmeta_df expressions
+    (F.length = char counts; F.split keeps trailing empties like
+    str.split("\\n"); long/long division is IEEE double both here and in
+    Spark SQL) — pinned by tests/test_build_equivalence.py."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from cantine_spark.analysis import tokenize_series  # noqa: PLC0415
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        content = pdf["content"]
+        ctoks = tokenize_series(content)
+        ptoks = tokenize_series(pdf["path"])
+        dl_c = np.fromiter((len(t) for t in ctoks), np.int64, n)
+        dl_p = np.fromiter((len(t) for t in ptoks), np.int64, n)
+        n_kw = np.fromiter(
+            (sum(t in _KEYWORDS for t in ts) for ts in ctoks), np.int64, n)
+        n_imp = np.fromiter(
+            (sum(t in _IMPORTS for t in ts) for ts in ctoks), np.int64, n)
+        lines = [s.split("\n") for s in content]
+        n_lines = np.fromiter((len(ls) for ls in lines), np.int64, n)
+        sum_ll = np.fromiter(
+            (sum(len(l) for l in ls) for ls in lines), np.int64, n)
+        max_ll = np.fromiter(
+            (max(len(l) for l in ls) for ls in lines), np.int64, n)
+        n_comment = np.fromiter(
+            (sum(l.startswith("#") for l in ls) for ls in lines), np.int64, n)
+        is_md = (pdf["lang"] == "md").to_numpy()
+
+        num_functions = pd.array(n_kw, dtype="Int64")
+        num_functions[is_md] = pd.NA
+        num_imports = pd.array(n_imp, dtype="Int64")
+        num_imports[is_md] = pd.NA
+        comment_ratio = n_comment / np.maximum(n_lines, 1).astype(np.float64)
+        comment_ratio = pd.array(comment_ratio, dtype="Float64")
+        comment_ratio[is_md] = pd.NA
+
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "repo": pdf["repo"], "path": pdf["path"],
+            "commit": pdf["commit"], "lang": pdf["lang"],
+            "content": content,
+            "_content_tokens": [" ".join(t) for t in ctoks],
+            "_path_tokens": [" ".join(t) for t in ptoks],
+            "doc_len_content": dl_c,
+            "doc_len_path": dl_p,
+            "num_tokens": dl_c,
+            "num_lines": n_lines,
+            "content_bytes": content.str.len().to_numpy(np.int64),
+            "num_functions": num_functions,
+            "num_imports": num_imports,
+            "comment_ratio": comment_ratio,
+            "avg_line_len": sum_ll / np.maximum(n_lines, 1),
+            "max_line_len": max_ll,
+        })
 
 
 def _stage_marker(path: str) -> str:
@@ -105,6 +227,15 @@ def bucket_expr(field_col, term_col):
     return F.pmod(F.xxhash64(field_col, term_col), F.lit(N_BUCKETS)).cast("int")
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes of the parquet files under a directory (split sizing)."""
+    try:
+        return sum(f[0].get_file_info(f[1]).size
+                   for f in fsutil.list_parquet(path))
+    except Exception:  # noqa: BLE001 — sizing is best-effort
+        return 0
+
+
 @dataclass
 class IndexBuilder:
     spark: SparkSession
@@ -114,13 +245,13 @@ class IndexBuilder:
     stages_skipped: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------------ docs
-    def _docs_df(self, corpus: DataFrame) -> DataFrame:
+    def _docs_df(self, tokenized: DataFrame) -> DataFrame:
         # uuid: deterministic function of identity (reference stores a crawl
         # uuid, model.rs:16; ours derives from (repo, path) so it is
         # recomputable). The separator is NUL — a '/' join is ambiguous
         # (repo='a/b',path='c' vs repo='a',path='b/c') and NUL cannot appear
         # in either component. doc store row = full record (S5).
-        return corpus.select(
+        return tokenized.select(
             "doc_id",
             F.md5(F.concat_ws("\u0000", "repo", "path")).alias("uuid"),
             "repo", "path", "commit", "lang", "content",
@@ -128,45 +259,15 @@ class IndexBuilder:
         )
 
     # --------------------------------------------------------------- docmeta
-    def _docmeta_df(self, corpus: DataFrame) -> DataFrame:
-        """Numeric feature columns (FIXTURES §2) — all derived with built-in
-        JVM functions (no UDF): these are the engine's 'fast fields'.
-        Nullable features reproduce cantine's optional-feature semantics
-        (absent ⇒ excluded from range filters/aggs,
-        cantine_derive/internal/src/lib.rs:217-224)."""
-        lines = F.split(F.col("content"), "\n")
-        line_lens = F.transform(lines, lambda s: F.length(s))
-        c = corpus.select(
-            "doc_id", "repo", "path", "lang",
-            F.col("_content_tokens").alias("_ct"),
-            F.col("_path_tokens").alias("_pt"),
-            lines.alias("_lines"),
-            line_lens.alias("_ll"),
-            F.length("content").alias("content_bytes"),
-            F.octet_length("content").alias("content_octets"),
-        )
-        num_kw = F.size(F.filter(F.col("_ct"), lambda t: t.isin("def", "fn", "func")))
-        num_imp = F.size(F.filter(F.col("_ct"), lambda t: t.isin("import", "include", "use")))
-        return c.select(
-            "doc_id", "repo", "path", "lang",
-            F.size("_ct").cast("long").alias("doc_len_content"),
-            F.size("_pt").cast("long").alias("doc_len_path"),
-            F.size("_ct").cast("long").alias("num_tokens"),
-            F.size("_lines").cast("long").alias("num_lines"),
-            F.col("content_bytes").cast("long"),
-            F.when(F.col("lang") != "md", num_kw.cast("long")).alias("num_functions"),
-            F.when(F.col("lang") != "md", num_imp.cast("long")).alias("num_imports"),
-            F.when(F.col("lang") != "md",
-                   F.size(F.filter(F.col("_lines"), lambda s: s.startswith("#")))
-                   / F.greatest(F.size("_lines"), F.lit(1)).cast("double")
-                   ).alias("comment_ratio"),
-            (F.aggregate("_ll", F.lit(0).cast("long"), lambda a, x: a + x)
-             / F.greatest(F.size("_ll"), F.lit(1))).cast("double").alias("avg_line_len"),
-            F.array_max("_ll").cast("long").alias("max_line_len"),
-        )
+    def _docmeta_df(self, tokenized: DataFrame) -> DataFrame:
+        """The engine's 'fast fields' — all values precomputed in the fused
+        tokenize pass; this is a pure column select (FIXTURES §2 semantics
+        unchanged: nullable features reproduce cantine's optional-feature
+        behavior, cantine_derive/internal/src/lib.rs:217-224)."""
+        return tokenized.select(*DOCMETA_COLS)
 
     # -------------------------------------------------------------- postings
-    def _postings_df(self, corpus: DataFrame) -> DataFrame:
+    def _postings_df(self, tokenized: DataFrame) -> DataFrame:
         """(field, term, doc_id, tf, dl, positions) — one frame per text
         field, unioned. The (doc_id, term) grouping is PER-DOCUMENT, so it
         needs no shuffle: one vectorized mapInPandas pass per partition emits
@@ -199,8 +300,11 @@ class IndexBuilder:
             for pdf in batches:
                 outs = []
                 for fld in fields:
-                    toks = pdf[f"_{fld}_tokens"]
-                    lens = toks.map(len).to_numpy(dtype=np.int64)
+                    # tokens stored space-joined; split() round-trips
+                    # exactly (token alphabet excludes whitespace)
+                    toks = [s.split() for s in pdf[f"_{fld}_tokens"]]
+                    lens = np.fromiter((len(t) for t in toks),
+                                       np.int64, len(toks))
                     total = int(lens.sum())
                     if total == 0:
                         continue
@@ -235,8 +339,8 @@ class IndexBuilder:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        src = corpus.select("doc_id",
-                            *[f"_{f}_tokens" for f in TEXT_FIELDS])
+        src = tokenized.select("doc_id",
+                               *[f"_{f}_tokens" for f in TEXT_FIELDS])
         return (src.mapInPandas(invert, out_schema)
                 .withColumn("bucket",
                             bucket_expr(F.col("field"), F.col("term"))))
@@ -247,6 +351,43 @@ class IndexBuilder:
         must carry doc_id (see corpus.with_doc_ids)."""
         spark = self.spark
         fsutil.ensure_dir(self.index_dir)
+
+        # Fingerprint the INPUT corpus, not the tokenized table: a stale
+        # marker must never silently reuse an index built from a different
+        # corpus. One cheap columnar aggregation (count + order-independent
+        # crc32 sum over identity columns + total content bytes) — collisions
+        # would need identical keys AND identical total content length.
+        # This agg is also the pass that materializes any upstream cache
+        # (with_doc_ids persists its ranged frame), so the concurrent
+        # stages below never race to compute it.
+        fp_row = corpus_with_ids.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("\u0000", "repo", "path", "commit"))
+                  ).alias("keys_crc"),
+            F.sum(F.octet_length("content")).alias("content_bytes"),
+        ).collect()[0]
+        n_docs = int(fp_row["n"])
+        fingerprint = hashlib.sha256(
+            f"v3:{n_docs}:{fp_row['keys_crc']}:{fp_row['content_bytes']}:"
+            f"{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
+        ).hexdigest()[:16]
+        metrics: dict = {"n_docs": n_docs}
+
+        def run_stage(name: str, path: str, fn, stage_metrics=None) -> bool:
+            """Marker-guarded stage execution (thread-safe: list.append is
+            atomic under the GIL; each stage owns its own marker file)."""
+            if not force and _stage_done(path, fingerprint):
+                self.stages_skipped.append(name)
+                return False
+            t0 = time.time()
+            extra = fn() or {}
+            m = dict(stage_metrics or {})
+            m.update(extra)
+            m["seconds"] = round(time.time() - t0, 3)
+            metrics[name] = m
+            _mark_stage(path, fingerprint, m)
+            self.stages_run.append(name)
+            return True
 
         # Tokenize ONCE into a parquet intermediate (stage "tokenized"), and
         # have every downstream stage read it back. Two scale lessons are
@@ -262,176 +403,165 @@ class IndexBuilder:
         #    resumable checkpoint — at 100 TB an in-memory cache could never
         #    hold this anyway.
         tok_path = os.path.join(self.index_dir, "tokenized")
-        # Fingerprint the INPUT corpus, not the tokenized table: a stale
-        # marker must never silently reuse an index built from a different
-        # corpus. One cheap columnar aggregation (count + order-independent
-        # crc32 sum over identity columns + total content bytes) — collisions
-        # would need identical keys AND identical total content length.
-        fp_row = corpus_with_ids.agg(
-            F.count("*").alias("n"),
-            F.sum(F.crc32(F.concat_ws("\u0000", "repo", "path", "commit"))
-                  ).alias("keys_crc"),
-            F.sum(F.octet_length("content")).alias("content_bytes"),
-        ).collect()[0]
-        n_docs = int(fp_row["n"])
-        fingerprint = hashlib.sha256(
-            f"v2:{n_docs}:{fp_row['keys_crc']}:{fp_row['content_bytes']}:"
-            f"{self.n_buckets}:{','.join(TEXT_FIELDS)}".encode()
-        ).hexdigest()[:16]
-        metrics: dict = {"n_docs": n_docs}
+        run_stage("tokenized", tok_path, lambda: (
+            corpus_with_ids.mapInPandas(_tokfeat_batches, TOKFEAT_SCHEMA)
+            .write.mode("overwrite").parquet(tok_path)))
 
-        tokenized_src = corpus_with_ids
-        for fld in TEXT_FIELDS:
-            tokenized_src = tokenized_src.withColumn(
-                f"_{fld}_tokens", tokens_udf(F.col(fld)))
-        if force or not _stage_done(tok_path, fingerprint):
-            t0 = time.time()
-            tokenized_src.write.mode("overwrite").parquet(tok_path)
-            _mark_stage(tok_path, fingerprint,
-                        {"seconds": round(time.time() - t0, 3)})
-            self.stages_run.append("tokenized")
-        else:
-            self.stages_skipped.append("tokenized")
-        tokenized = spark.read.parquet(tok_path)
+        # Read the intermediate through a conf-isolated session clone whose
+        # split sizing is derived from the ACTUAL table size (guide §6:
+        # scale-adaptive, not a constant): the downstream stages are
+        # compute-heavy selects over few small files — default 128 MB
+        # splits would pack them into 1-4 tasks and serialize the work.
+        par = spark.sparkContext.defaultParallelism
+        rd = spark.newSession()
+        tok_bytes = _dir_bytes(tok_path)
+        split = min(128 << 20, max(1 << 20, tok_bytes // max(2 * par, 1)))
+        rd.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        rd.conf.set("spark.sql.files.openCostInBytes",
+                    str(max(64 << 10, split // 8)))
+        tokenized = rd.read.parquet(tok_path)
 
-        stages = {
-            "docs": lambda: self._docs_df(tokenized.drop(
-                *[f"_{f}_tokens" for f in TEXT_FIELDS])),
-            "docmeta": lambda: self._docmeta_df(tokenized),
-            "postings": lambda: self._postings_df(tokenized),
-        }
-        for name, make in stages.items():
-            path = os.path.join(self.index_dir, name)
-            if not force and _stage_done(path, fingerprint):
-                self.stages_skipped.append(name)
-                continue
-            t0 = time.time()
-            df = make()
-            if name == "postings":
-                # One shuffle partition per (bucket, salt): each task owns a
-                # slice of exactly one bucket → bucket_dir file count =
-                # WRITE_SALT, not n_tasks × n_buckets (a 64×64 = 4096-file
-                # layout caused measurable kernel-time storms on write AND
-                # on every downstream read). Salt spreads hot buckets over
-                # WRITE_SALT writer tasks. The sort MUST lead with the
-                # partition column: otherwise the dynamic-partition writer
-                # injects its own (unstable) sort by bucket, destroying term
-                # order and re-sorting in parallel (measured 4× slower).
-                (df.repartition(self.n_buckets * WRITE_SALT,
-                                "bucket", F.pmod(F.col("doc_id"), F.lit(WRITE_SALT)))
-                   .sortWithinPartitions("bucket", "field", "term", "doc_id")
-                   .write.mode("overwrite").partitionBy("bucket").parquet(path))
-            elif name == "docs":
-                df.repartitionByRange(
-                    max(4, spark.sparkContext.defaultParallelism), "doc_id"
-                ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(path)
-            else:
-                df.repartitionByRange(
-                    max(4, spark.sparkContext.defaultParallelism // 2),
-                    "doc_id").sortWithinPartitions(
-                    "doc_id").write.mode("overwrite").parquet(path)
-            # docs/docmeta rows == n_docs by construction; postings rows are
-            # derived from term_stats (Σdf) below — a count() here re-reads
-            # the whole table just for a metric (measured ~6s at 800k docs)
-            stage_metrics = {"rows": n_docs if name != "postings" else None,
-                             "seconds": round(time.time() - t0, 3)}
-            metrics[name] = stage_metrics
-            _mark_stage(path, fingerprint, stage_metrics)
-            self.stages_run.append(name)
+        # docs / docmeta / postings all depend ONLY on tokenized —
+        # run them on concurrent driver threads (guide §2.6): the scheduler
+        # back-fills one job's task tail with the next job's tasks.
+        docs_path = os.path.join(self.index_dir, "docs")
+        dm_path = os.path.join(self.index_dir, "docmeta")
+        post_path = os.path.join(self.index_dir, "postings")
 
-        # term_stats + index_stats derive from postings (cheap re-aggregations)
-        post = spark.read.parquet(os.path.join(self.index_dir, "postings"))
-        ts_path = os.path.join(self.index_dir, "term_stats")
-        if force or not _stage_done(ts_path, fingerprint):
-            t0 = time.time()
-            (post.groupBy("field", "term", "bucket")
-                 .agg(F.count("*").cast("long").alias("df"),
-                      F.sum("tf").cast("long").alias("cf"))
-                 .repartition(self.n_buckets, "bucket")
-                 .sortWithinPartitions("bucket", "field", "term")
-                 .write.mode("overwrite").partitionBy("bucket").parquet(ts_path))
-            _mark_stage(ts_path, fingerprint,
-                        {"seconds": round(time.time() - t0, 3)})
-            self.stages_run.append("term_stats")
-        else:
-            self.stages_skipped.append("term_stats")
+        def stage_docs():
+            run_stage("docs", docs_path, lambda: (
+                self._docs_df(tokenized)
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite").parquet(docs_path)),
+                {"rows": n_docs})
+
+        def stage_docmeta():
+            run_stage("docmeta", dm_path, lambda: (
+                self._docmeta_df(tokenized)
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite").parquet(dm_path)),
+                {"rows": n_docs})
+
+        def stage_postings():
+            # One shuffle partition per (bucket, salt): each task owns a
+            # slice of exactly one bucket → bucket_dir file count =
+            # WRITE_SALT, not n_tasks × n_buckets (a 64×64 = 4096-file
+            # layout caused measurable kernel-time storms on write AND
+            # on every downstream read). Salt spreads hot buckets over
+            # WRITE_SALT writer tasks. The sort MUST lead with the
+            # partition column: otherwise the dynamic-partition writer
+            # injects its own (unstable) sort by bucket, destroying term
+            # order and re-sorting in parallel (measured 4× slower).
+            # rows metric is patched post-hoc from Σdf (a count() here
+            # would re-read the whole table).
+            run_stage("postings", post_path, lambda: (
+                self._postings_df(tokenized)
+                .repartition(self.n_buckets * WRITE_SALT, "bucket",
+                             F.pmod(F.col("doc_id"), F.lit(WRITE_SALT)))
+                .sortWithinPartitions("bucket", "field", "term", "doc_id")
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(post_path)),
+                {"rows": None})
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(stage_docs), pool.submit(stage_docmeta),
+                        pool.submit(stage_postings)]:
+                fut.result()
 
         # uuid_map: the analog of the reference's in-memory uuid → id HashMap
-        # (cantine/src/database/readerwriter.rs:30-55). docs/ is partitioned
-        # by doc_id range, so a uuid lookup there scans everything; this side
-        # table is hash-bucketed by uuid → a cursor resolve reads ONE bucket
+        # (cantine/src/database/readerwriter.rs:30-55). docs/ is doc_id-
+        # ordered, so a uuid lookup there scans everything; this side table
+        # is hash-bucketed by uuid → a cursor resolve reads ONE bucket
         # directory (pruned by the driver-side pure-Python xxhash64).
+        # Independent of everything after docs/ — runs concurrently with
+        # index_stats + segments below and back-fills their task tails.
         um_path = os.path.join(self.index_dir, "uuid_map")
-        if force or not _stage_done(um_path, fingerprint):
-            t0 = time.time()
-            docs_df = spark.read.parquet(os.path.join(self.index_dir, "docs"))
-            (docs_df.select(
-                "uuid", "doc_id",
-                F.pmod(F.xxhash64("uuid"), F.lit(self.n_buckets))
-                 .cast("int").alias("ubucket"))
-             .repartition(self.n_buckets, "ubucket")
-             .sortWithinPartitions("ubucket", "uuid")
-             .write.mode("overwrite").partitionBy("ubucket").parquet(um_path))
-            # ingest-time uniqueness gate: duplicate (repo, path) rows would
-            # share a uuid and make cursor resumes ambiguous (the reference's
-            # HashMap silently last-wins, readerwriter.rs:40-47 — we refuse)
-            dup = (spark.read.parquet(um_path).groupBy("uuid")
-                   .count().filter(F.col("count") > 1).limit(1).collect())
-            if dup:
-                raise ValueError(
-                    f"duplicate document identity (repo, path): uuid "
-                    f"{dup[0]['uuid']!r} maps to {dup[0]['count']} doc_ids")
-            _mark_stage(um_path, fingerprint,
-                        {"seconds": round(time.time() - t0, 3)})
-            self.stages_run.append("uuid_map")
-        else:
-            self.stages_skipped.append("uuid_map")
+
+        def stage_uuid_map():
+            def write_and_gate():
+                docs_df = spark.read.parquet(docs_path)
+                (docs_df.select(
+                    "uuid", "doc_id",
+                    F.pmod(F.xxhash64("uuid"), F.lit(self.n_buckets))
+                     .cast("int").alias("ubucket"))
+                 .repartition(self.n_buckets, "ubucket")
+                 .sortWithinPartitions("ubucket", "uuid")
+                 .write.mode("overwrite").partitionBy("ubucket")
+                 .parquet(um_path))
+                # ingest-time uniqueness gate: duplicate (repo, path) rows
+                # would share a uuid and make cursor resumes ambiguous (the
+                # reference's HashMap silently last-wins,
+                # readerwriter.rs:40-47 — we refuse)
+                dup = (spark.read.parquet(um_path).groupBy("uuid")
+                       .count().filter(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    raise ValueError(
+                        f"duplicate document identity (repo, path): uuid "
+                        f"{dup[0]['uuid']!r} maps to {dup[0]['count']} "
+                        f"doc_ids")
+            run_stage("uuid_map", um_path, write_and_gate)
 
         is_path = os.path.join(self.index_dir, "index_stats")
-        if force or not _stage_done(is_path, fingerprint):
-            dm = spark.read.parquet(os.path.join(self.index_dir, "docmeta"))
-            # integer sum of doc lengths → avgdl is bit-deterministic
-            # regardless of partitioning (SURVEY §7.4 risk 1); ONE agg job
-            # covers every field
-            agg = dm.agg(F.count("*").alias("n"),
-                         *[F.sum(f"doc_len_{fld}").alias(f"t_{fld}")
-                           for fld in TEXT_FIELDS]).collect()[0]
-            rows = []
-            for fld in TEXT_FIELDS:
-                total = int(agg[f"t_{fld}"] or 0)
-                rows.append((fld, int(agg["n"]), total,
-                             total / max(int(agg["n"]), 1)))
-            write_index_stats(is_path, rows)
-            _mark_stage(is_path, fingerprint, {})
-            self.stages_run.append("index_stats")
-        else:
-            self.stages_skipped.append("index_stats")
+
+        def stage_index_stats():
+            def agg_and_write():
+                dm = spark.read.parquet(dm_path)
+                # integer sum of doc lengths → avgdl is bit-deterministic
+                # regardless of partitioning (SURVEY §7.4 risk 1); ONE agg
+                # job covers every field
+                agg = dm.agg(F.count("*").alias("n"),
+                             *[F.sum(f"doc_len_{fld}").alias(f"t_{fld}")
+                               for fld in TEXT_FIELDS]).collect()[0]
+                rows = []
+                for fld in TEXT_FIELDS:
+                    total = int(agg[f"t_{fld}"] or 0)
+                    rows.append((fld, int(agg["n"]), total,
+                                 total / max(int(agg["n"]), 1)))
+                write_index_stats(is_path, rows)
+            run_stage("index_stats", is_path, agg_and_write)
 
         # segments: the compressed block-max format — the engine's DEFAULT
         # query path (the row-per-posting postings/ table remains the
-        # build intermediate + relational-fallback source)
+        # build intermediate + relational-fallback source). Needs avgdl
+        # (index_stats) + postings; uuid_map overlaps with it.
         from cantine_spark.build.segments import build_segments
         seg_path = os.path.join(self.index_dir, "segments")
-        if force or not _stage_done(seg_path, fingerprint):
-            seg_meta = build_segments(spark, self.index_dir, n_docs=n_docs)
-            metrics["segments"] = seg_meta
-            _mark_stage(seg_path, fingerprint, seg_meta)
-            self.stages_run.append("segments")
-        else:
-            self.stages_skipped.append("segments")
+        ts_path = os.path.join(self.index_dir, "term_stats")
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            uuid_future = pool.submit(stage_uuid_map)
+            stage_index_stats()
+            run_stage("segments", seg_path,
+                      lambda: build_segments(spark, self.index_dir,
+                                             n_docs=n_docs))
+            # term_stats: df/cf per (field, term, bucket) — ONE agg over
+            # the small champion sidecar (exactly one row per (field, term,
+            # shard) carrying the group's full df/cf), replacing the old
+            # full postings re-scan. Same layout, same values.
+            run_stage("term_stats", ts_path, lambda: (
+                spark.read.parquet(os.path.join(self.index_dir, "champions"))
+                .groupBy("field", "term")
+                .agg(F.sum("n_total").cast("long").alias("df"),
+                     F.sum("cf").cast("long").alias("cf"))
+                .withColumn("bucket",
+                            bucket_expr(F.col("field"), F.col("term")))
+                .repartition(self.n_buckets, "bucket")
+                .sortWithinPartitions("bucket", "field", "term")
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(ts_path)))
+            uuid_future.result()
 
         # per-partition metrics: rows per bucket (skew visibility) — derived
         # from term_stats (Σdf per bucket, a 64-group agg over the small
         # stats table) instead of re-scanning the whole postings table
-        ts = spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        ts = spark.read.parquet(ts_path)
         bucket_rows = {int(r["bucket"]): int(r["cnt"]) for r in
-                       ts.groupBy("bucket").agg(F.sum("df").alias("cnt")).collect()}
+                       ts.groupBy("bucket").agg(F.sum("df").alias("cnt"))
+                       .collect()}
         if "postings" in metrics:
             metrics["postings"]["rows"] = sum(bucket_rows.values())
         # patch the persisted postings stage marker with the Σdf-derived row
         # count (the marker is written before the count exists; without this
         # a resumed build that skips the stage never records it — ADVICE r2)
-        post_path = os.path.join(self.index_dir, "postings")
         try:
             pm = fsutil.read_json(_stage_marker(post_path))
         except Exception:  # noqa: BLE001

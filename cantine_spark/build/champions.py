@@ -70,6 +70,11 @@ CHAMPIONS_SCHEMA = T.StructType([
     T.StructField("dls", T.BinaryType(), False),
     T.StructField("tail_tfnorm", T.DoubleType(), False),
     T.StructField("avgdl_build", T.DoubleType(), False),
+    # r7: collection frequency of the group (Σtf over ALL its postings, not
+    # just the champion heads) — lets term_stats derive from this small
+    # table (df = Σ n_total, cf = Σ cf over shards) instead of re-scanning
+    # the full postings table at build time
+    T.StructField("cf", T.LongType(), False),
 ])
 
 
@@ -150,6 +155,8 @@ def _champions_sorted(pdf: pd.DataFrame, avgdl: dict, cap: int) -> pd.DataFrame:
     has_tail = gsize > cap
     tails[has_tail] = tfn[order[gstart[has_tail] + cap]]
 
+    cf = np.bincount(gov, weights=tfs.astype(np.float64),
+                     minlength=n_groups).astype(np.int64)
     grow = np.flatnonzero(change)  # first block row of each group
     out = []
     for g in range(n_groups):
@@ -159,7 +166,76 @@ def _champions_sorted(pdf: pd.DataFrame, avgdl: dict, cap: int) -> pd.DataFrame:
                     int(blocks_per_group[g]),
                     docs_h[s:e].tobytes(), tfs_h[s:e].tobytes(),
                     dls_h[s:e].tobytes(), float(tails[g]),
-                    float(av_block[i])))
+                    float(av_block[i]), int(cf[g])))
+    return pd.DataFrame(out, columns=cols)
+
+
+def champions_from_postings(pdf: pd.DataFrame, avgdl: dict,
+                            cap: int) -> pd.DataFrame:
+    """Champion rows straight from RAW posting rows (the fused build path,
+    r7): the segment encoder already holds every (field, term, shard)
+    group's (doc_id, tf, dl) arrays sorted by doc — computing the top-C
+    heads there skips the standalone sidecar job's segments re-read,
+    re-shuffle and varint re-decode entirely. Selection math is identical
+    to _champions_sorted (same tfnorm dtype path: integer tf/dl →
+    float64; same lexsort keys and tie order), pinned bit-equal by
+    tests/test_champions.py::test_fused_equals_standalone_sidecar.
+
+    `pdf` must have each (field, term, shard) group contiguous with
+    doc_id ascending within the group — the encoder's input order."""
+    n = len(pdf)
+    cols = [x.name for x in CHAMPIONS_SCHEMA.fields]
+    if n == 0:
+        return pd.DataFrame([], columns=cols)
+    f = pdf["field"].to_numpy()
+    t = pdf["term"].to_numpy()
+    sh = pdf["shard"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    change = np.ones(n, dtype=bool)
+    change[1:] = (f[1:] != f[:-1]) | (t[1:] != t[:-1]) | (sh[1:] != sh[:-1])
+    gid = np.cumsum(change) - 1
+    n_groups = int(gid[-1]) + 1
+    gsize_all = np.bincount(gid, minlength=n_groups)
+
+    from cantine_spark.build.segments import BLOCK_SIZE  # noqa: PLC0415
+    n_blocks = -(-gsize_all // BLOCK_SIZE)  # ceil — encoder splits at 128
+
+    av_val = np.fromiter((avgdl[x] for x in f), np.float64, n)
+    tfd = tfs.astype(np.float64)
+    tfn = tfd * (K1 + 1.0) / (
+        tfd + K1 * (1.0 - B + B * dls.astype(np.float64) / av_val))
+
+    order = np.lexsort((docs, -tfn, gid))
+    g_sorted = gid[order]
+    gchange = np.ones(n, dtype=bool)
+    gchange[1:] = g_sorted[1:] != g_sorted[:-1]
+    gstart = np.flatnonzero(gchange)
+    gsize = np.diff(np.append(gstart, n))
+    rank = np.arange(n) - np.repeat(gstart, gsize)
+
+    ord_head = order[rank < cap]
+    docs_h = docs[ord_head].astype("<u8")
+    tfs_h = tfs[ord_head].astype("<u4")
+    dls_h = dls[ord_head].astype("<u4")
+    n_champ = np.minimum(gsize, cap)
+    hstart = np.concatenate([[0], np.cumsum(n_champ)[:-1]]).astype(np.int64)
+    tails = np.zeros(n_groups, dtype=np.float64)
+    has_tail = gsize > cap
+    tails[has_tail] = tfn[order[gstart[has_tail] + cap]]
+    cf = np.bincount(gid, weights=tfd, minlength=n_groups).astype(np.int64)
+
+    grow = np.flatnonzero(change)  # first posting row of each group
+    out = []
+    for g in range(n_groups):
+        s, e = hstart[g], hstart[g] + n_champ[g]
+        i = grow[g]
+        out.append((f[i], t[i], int(sh[i]), int(gsize[g]), int(n_champ[g]),
+                    int(n_blocks[g]),
+                    docs_h[s:e].tobytes(), tfs_h[s:e].tobytes(),
+                    dls_h[s:e].tobytes(), float(tails[g]),
+                    float(av_val[i]), int(cf[g])))
     return pd.DataFrame(out, columns=cols)
 
 

@@ -206,6 +206,101 @@ def _encode_batches(avgdl: dict):
     return gen
 
 
+# Combined block + champion output of the fused encoder (r7): one shuffled
+# sort feeds BOTH the segment blocks and the champion sidecar rows, so the
+# champion job's segments re-read + re-shuffle + varint re-decode is gone.
+# Rows are disjoint by `kind` (0 = block, 1 = champion); champion-only
+# columns are NULL on block rows and vice versa (cheap: parquet/Arrow
+# encode all-null columns as validity bitmaps).
+_CHAMP_ONLY = [
+    T.StructField("n_total", T.LongType(), True),
+    T.StructField("n_champ", T.IntegerType(), True),
+    T.StructField("c_n_blocks", T.IntegerType(), True),
+    T.StructField("c_doc_ids", T.BinaryType(), True),
+    T.StructField("c_tfs", T.BinaryType(), True),
+    T.StructField("c_dls", T.BinaryType(), True),
+    T.StructField("tail_tfnorm", T.DoubleType(), True),
+    T.StructField("avgdl_build", T.DoubleType(), True),
+    T.StructField("cf", T.LongType(), True),
+]
+COMBINED_SCHEMA = T.StructType(
+    [T.StructField("kind", T.IntegerType(), False)]
+    + [T.StructField(f.name, f.dataType, True) for f in SEGMENT_SCHEMA.fields]
+    + _CHAMP_ONLY)
+
+
+def _encode_combined_batches(avgdl: dict, cap: int):
+    """Carry-over wrapper emitting block rows AND champion rows per flushed
+    chunk — same grouping/slicing as _encode_batches, same per-chunk
+    kernels (_encode_sorted, champions_from_postings)."""
+    from cantine_spark.build.champions import (  # noqa: PLC0415
+        CHAMPIONS_SCHEMA, champions_from_postings)
+
+    seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    champ_cols = [f.name for f in CHAMPIONS_SCHEMA.fields]
+    # champion table column → combined column (disjoint names where the
+    # two tables use the same name for different content)
+    remap = {"n_blocks": "c_n_blocks", "doc_ids": "c_doc_ids",
+             "tfs": "c_tfs", "dls": "c_dls"}
+    out_cols = [f.name for f in COMBINED_SCHEMA.fields]
+
+    def combine(chunk: pd.DataFrame) -> pd.DataFrame:
+        blocks = _encode_sorted(chunk, avgdl)
+        champs = champions_from_postings(chunk, avgdl, cap)
+        b = pd.DataFrame({"kind": np.zeros(len(blocks), np.int32)})
+        for c in seg_cols:
+            b[c] = blocks[c]
+        for f_ in _CHAMP_ONLY:
+            b[f_.name] = _null_col(len(blocks), f_.dataType)
+        c = pd.DataFrame({"kind": np.ones(len(champs), np.int32)})
+        for name in ("field", "term", "shard"):
+            c[name] = champs[name]
+        for f_ in SEGMENT_SCHEMA.fields:
+            if f_.name not in ("field", "term", "shard"):
+                c[f_.name] = _null_col(len(champs), f_.dataType)
+        for name in champ_cols:
+            if name in ("field", "term", "shard"):
+                continue
+            c[remap.get(name, name)] = champs[name]
+        return pd.concat([b[out_cols], c[out_cols]], ignore_index=True)
+
+    def gen(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            f = pdf["field"].to_numpy()
+            t = pdf["term"].to_numpy()
+            sh = pdf["shard"].to_numpy()
+            tail = (f == f[-1]) & (t == t[-1]) & (sh == sh[-1])
+            n_tail = len(pdf) if tail.all() else int(np.argmin(tail[::-1]))
+            cut = len(pdf) - n_tail
+            if cut == 0:
+                pending = pdf
+                continue
+            pending = pdf.iloc[cut:].reset_index(drop=True)
+            yield combine(pdf.iloc[:cut])
+        if pending is not None and len(pending):
+            yield combine(pending)
+
+    return gen
+
+
+def _null_col(n: int, dtype):
+    """All-null pandas column matching a Spark type (Arrow-safe: extension
+    dtypes for ints so NaN never hits an int cast)."""
+    if isinstance(dtype, T.LongType):
+        return pd.array([None] * n, dtype="Int64")
+    if isinstance(dtype, T.IntegerType):
+        return pd.array([None] * n, dtype="Int32")
+    if isinstance(dtype, T.DoubleType):
+        return np.full(n, np.nan)
+    return [None] * n  # binary / string
+
+
 def write_fastfields(spark: SparkSession, index_dir: str,
                      shard_span: int) -> dict:
     """Per-shard fast-field sidecar — the analog of tantivy's per-segment
@@ -250,47 +345,95 @@ def load_fastfields_meta(index_dir: str) -> dict | None:
         return None
 
 
+ENC_SALT = 8  # hot (field, term) spread per shard for the encode shuffle
+
+
 def build_segments(spark: SparkSession, index_dir: str,
                    shard_span: int | None = None,
                    n_docs: int | None = None) -> dict:
-    """Encode the postings table into the compressed segments table."""
+    """Encode the postings table into the compressed segments table, the
+    champion sidecar and the fast-field sidecar.
+
+    r7 shape (guide §2.4/§2.6 — one shuffle, overlapped sidecars): the
+    postings shuffle is keyed (shard, hash(field, term) % ENC_SALT) —
+    every (field, term, shard) group stays whole AND each output partition
+    holds few distinct shards, so the encoder's output can be written
+    partitionBy(shard) directly with a partition-LOCAL sort: the old
+    second full shuffle + re-sort of every encoded blob is gone. The same
+    sorted pass also emits the champion rows (fused encoder — no separate
+    champions job re-reading and re-decoding the segments table); the
+    combined frame is persisted once, split into the two tables, and
+    unpersisted. The fast-field sidecar (independent: docmeta only) runs
+    concurrently on a second driver thread and back-fills task slots."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    from cantine_spark.build.champions import champion_cap
+
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     if n_docs is None:
         n_docs = fsutil.read_json(
             fsutil.join(index_dir, "manifest.json"))["n_docs"]
     parallelism = spark.sparkContext.defaultParallelism
     span = shard_span or max(BLOCK_SIZE * 8, n_docs // (parallelism * 4) + 1)
+    cap = champion_cap(span)
 
-    stats_rows = spark.read.parquet(os.path.join(index_dir, "index_stats")).collect()
+    stats_rows = spark.read.parquet(
+        os.path.join(index_dir, "index_stats")).collect()
     avgdl = {r["field"]: float(r["avgdl"]) for r in stats_rows}
 
-    keyed = postings.withColumn(
-        "shard", (F.col("doc_id") / F.lit(span)).cast("int"))
+    keyed = postings.select(
+        "field", "term", "doc_id", "tf", "dl", "positions",
+        (F.col("doc_id") / F.lit(span)).cast("int").alias("shard"))
 
     out_path = os.path.join(index_dir, "segments")
+    champ_path = os.path.join(index_dir, "champions")
     t0 = time.time()
-    # hash-repartition keeps every (field, term, shard) group whole in one
-    # partition; the sort makes groups contiguous so ONE vectorized
-    # mapInPandas pass encodes everything (hot-term skew is spread because
-    # the key includes shard — a stopword's postings split over all shards)
-    (keyed.repartition(max(8, parallelism * 2), "field", "term", "shard")
-          .sortWithinPartitions("field", "term", "shard", "doc_id")
-          .mapInPandas(_encode_batches(avgdl), SEGMENT_SCHEMA)
-          .repartition(max(8, parallelism), "shard")
-          .sortWithinPartitions("shard", "field", "term", "block_id")
-          .write.mode("overwrite").partitionBy("shard").parquet(out_path))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        ff_future = pool.submit(write_fastfields, spark, index_dir, span)
+        enc = (keyed.repartition(
+                   max(8, parallelism * 2), "shard",
+                   F.pmod(F.xxhash64("field", "term"), F.lit(ENC_SALT)))
+               .sortWithinPartitions("shard", "field", "term", "doc_id")
+               .mapInPandas(_encode_combined_batches(avgdl, cap),
+                            COMBINED_SCHEMA)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        # segments: rows leave the encoder already in (shard, field, term,
+        # block_id) order; the partition-local sort re-establishes the
+        # ordering METADATA after the opaque Python stage so the dynamic-
+        # partition writer does not inject its own unstable shard sort
+        (enc.filter(F.col("kind") == 0)
+            .select(*[f.name for f in SEGMENT_SCHEMA.fields])
+            .sortWithinPartitions("shard", "field", "term", "block_id")
+            .write.mode("overwrite").partitionBy("shard").parquet(out_path))
+        # champions: shuffles ONLY the (small) champion rows out of the
+        # persisted frame — all shards of a term in one file, sorted, same
+        # layout as the standalone write_champions
+        (enc.filter(F.col("kind") == 1)
+            .select(F.col("field"), F.col("term"), F.col("shard"),
+                    F.col("n_total"), F.col("n_champ"),
+                    F.col("c_n_blocks").alias("n_blocks"),
+                    F.col("c_doc_ids").alias("doc_ids"),
+                    F.col("c_tfs").alias("tfs"),
+                    F.col("c_dls").alias("dls"),
+                    F.col("tail_tfnorm"), F.col("avgdl_build"), F.col("cf"))
+            .repartition(max(8, parallelism), "field", "term")
+            .sortWithinPartitions("field", "term", "shard")
+            .write.mode("overwrite").parquet(champ_path))
+        enc.unpersist()
+        fsutil.write_json(
+            fsutil.join(champ_path, "_CHAMPIONS_META.json"),
+            {"format": 1, "cap": cap, "shard_span": span,
+             "avgdl": {k: float(v) for k, v in avgdl.items()},
+             "seconds": 0.0})  # fused into the encode pass (see meta below)
+        ff_future.result()
     seconds = round(time.time() - t0, 3)
 
-    # fast-field sidecar rides the segments' span — re-encoding with a new
-    # span rewrites it so the two can never disagree
-    write_fastfields(spark, index_dir, span)
-    # per-term champion sidecar (hot-term fast path) — derived from the
-    # freshly written segments, same span discipline
-    from cantine_spark.build.champions import write_champions
-    write_champions(spark, index_dir, avgdl, span)
-
-    seg = spark.read.parquet(out_path)
-    n_blocks = seg.count()
+    # n_blocks without re-scanning the blob table: every (field, term,
+    # shard) group has exactly one champion row carrying its block count
+    ch = spark.read.parquet(champ_path)
+    n_blocks = int(ch.agg(F.sum("n_blocks")).collect()[0][0] or 0)
     meta = {"format": 2, "shard_span": span, "block_size": BLOCK_SIZE,
             "n_blocks": n_blocks, "fastfields": True,
             "encode_seconds": seconds}

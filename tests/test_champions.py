@@ -79,6 +79,36 @@ def test_sidecar_written_with_segments(index_dir, reader):
         "shard_span": meta["shard_span"], "cap": meta["cap"]}
 
 
+def test_fused_equals_standalone_sidecar(spark, index_dir, tmp_path):
+    """r7: the fused build path (champion rows emitted by the segment
+    encoder from raw postings, build/segments.py) must be BIT-EQUAL to the
+    standalone write_champions derivation (segments re-read + varint
+    decode) — same groups, heads, tie order, tail bounds, block counts,
+    cf."""
+    import shutil
+
+    champ = os.path.join(index_dir, "champions")
+    keep = str(tmp_path / "fused_champions")
+    shutil.copytree(champ, keep)
+    meta = load_champions_meta(index_dir)
+    write_champions(spark, index_dir,
+                    {k: float(v) for k, v in meta["avgdl"].items()},
+                    int(meta["shard_span"]), cap=int(meta["cap"]))
+    cols = ["field", "term", "shard", "n_total", "n_champ", "n_blocks",
+            "doc_ids", "tfs", "dls", "tail_tfnorm", "avgdl_build", "cf"]
+    a = (spark.read.parquet(keep).select(*cols)
+         .toPandas().sort_values(["field", "term", "shard"])
+         .reset_index(drop=True))
+    b = (spark.read.parquet(champ).select(*cols)
+         .toPandas().sort_values(["field", "term", "shard"])
+         .reset_index(drop=True))
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert a[c].equals(b[c]), f"column {c} differs"
+    shutil.rmtree(champ)
+    shutil.copytree(keep, champ)  # restore for other session-scoped suites
+
+
 def test_champion_rows_are_true_tfnorm_heads(spark, champ_idx):
     """For a hot (field, term, shard): the stored head IS the top-C by
     build tfnorm over that shard's postings, complete groups store
