@@ -227,16 +227,24 @@ def champions_from_postings(pdf: pd.DataFrame, avgdl: dict,
     cf = np.bincount(gid, weights=tfd, minlength=n_groups).astype(np.int64)
 
     grow = np.flatnonzero(change)  # first posting row of each group
-    out = []
-    for g in range(n_groups):
-        s, e = hstart[g], hstart[g] + n_champ[g]
-        i = grow[g]
-        out.append((f[i], t[i], int(sh[i]), int(gsize[g]), int(n_champ[g]),
-                    int(n_blocks[g]),
-                    docs_h[s:e].tobytes(), tfs_h[s:e].tobytes(),
-                    dls_h[s:e].tobytes(), float(tails[g]),
-                    float(av_val[i]), int(cf[g])))
-    return pd.DataFrame(out, columns=cols)
+    # columnar assembly (a per-group tuple loop measured ~1.5 s per 300k
+    # groups): the head arrays are contiguous in group order, so each
+    # group's blob is a byte-range of one tobytes() buffer
+    doc_b, tf_b, dl_b = docs_h.tobytes(), tfs_h.tobytes(), dls_h.tobytes()
+    hend = hstart + n_champ
+    return pd.DataFrame({
+        "field": f[grow], "term": t[grow],
+        "shard": sh[grow],
+        "n_total": gsize.astype(np.int64),
+        "n_champ": n_champ.astype(np.int32),
+        "n_blocks": n_blocks.astype(np.int32),
+        "doc_ids": [doc_b[a:b] for a, b in zip(hstart * 8, hend * 8)],
+        "tfs": [tf_b[a:b] for a, b in zip(hstart * 4, hend * 4)],
+        "dls": [dl_b[a:b] for a, b in zip(hstart * 4, hend * 4)],
+        "tail_tfnorm": tails,
+        "avgdl_build": av_val[grow],
+        "cf": cf,
+    }, columns=cols)
 
 
 def _champion_batches(avgdl: dict, cap: int):

@@ -26,7 +26,11 @@ def encode_varint_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = vals.copy()
     for _ in range(1, 10):
         v >>= np.uint64(7)
-        nb += (v > 0).astype(np.int64)
+        nz = v > 0
+        if not nz.any():
+            break  # all remaining bytes would be 0 — tf/dl/gap columns are
+            # overwhelmingly 1-2 byte values, so this skips ~7 full passes
+        nb += nz
     total = int(nb.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
