@@ -463,11 +463,6 @@ class IndexBuilder:
                 .parquet(post_path)),
                 {"rows": None})
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for fut in [pool.submit(stage_docs), pool.submit(stage_docmeta),
-                        pool.submit(stage_postings)]:
-                fut.result()
-
         # uuid_map: the analog of the reference's in-memory uuid → id HashMap
         # (cantine/src/database/readerwriter.rs:30-55). docs/ is doc_id-
         # ordered, so a uuid lookup there scans everything; this side table
@@ -523,16 +518,34 @@ class IndexBuilder:
         # segments: the compressed block-max format — the engine's DEFAULT
         # query path (the row-per-posting postings/ table remains the
         # build intermediate + relational-fallback source). Needs avgdl
-        # (index_stats) + postings; uuid_map overlaps with it.
+        # (index_stats) + posting ROWS — not the written postings/ table:
+        # when the postings stage runs in this same call, segments consumes
+        # the SAME invert lineage the postings write shuffles
+        # (build_segments(postings_df=...), bit-identical by construction —
+        # see its docstring), so the 512-task salted write leaves the
+        # critical path entirely and proceeds on a sibling thread while
+        # index_stats → segments → term_stats run. Only a resumed build
+        # whose postings stage is already on disk reads the parquet back
+        # (cheaper than re-inverting). docs ∥ docmeta ∥ postings-write ∥
+        # (docs → uuid_map) all overlap the segments chain.
         from cantine_spark.build.segments import build_segments
         seg_path = os.path.join(self.index_dir, "segments")
         ts_path = os.path.join(self.index_dir, "term_stats")
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            uuid_future = pool.submit(stage_uuid_map)
+        postings_prebuilt = (not force) and _stage_done(post_path, fingerprint)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            docs_future = pool.submit(stage_docs)
+            docmeta_future = pool.submit(stage_docmeta)
+            postings_future = pool.submit(stage_postings)
+            uuid_future = pool.submit(
+                lambda: (docs_future.result(), stage_uuid_map()))
+            docmeta_future.result()
             stage_index_stats()
+            seg_src = (None if postings_prebuilt
+                       else self._postings_df(tokenized))
             run_stage("segments", seg_path,
                       lambda: build_segments(spark, self.index_dir,
-                                             n_docs=n_docs))
+                                             n_docs=n_docs,
+                                             postings_df=seg_src))
             # term_stats: df/cf per (field, term, bucket) — ONE agg over
             # the small champion sidecar (exactly one row per (field, term,
             # shard) carrying the group's full df/cf), replacing the old
@@ -548,6 +561,7 @@ class IndexBuilder:
                 .sortWithinPartitions("bucket", "field", "term")
                 .write.mode("overwrite").partitionBy("bucket")
                 .parquet(ts_path)))
+            postings_future.result()
             uuid_future.result()
 
         # per-partition metrics: rows per bucket (skew visibility) — derived

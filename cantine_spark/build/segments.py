@@ -355,7 +355,8 @@ ENC_SALT = 8  # hot (field, term) spread per shard for the encode shuffle
 
 def build_segments(spark: SparkSession, index_dir: str,
                    shard_span: int | None = None,
-                   n_docs: int | None = None) -> dict:
+                   n_docs: int | None = None,
+                   postings_df=None) -> dict:
     """Encode the postings table into the compressed segments table, the
     champion sidecar and the fast-field sidecar.
 
@@ -369,14 +370,24 @@ def build_segments(spark: SparkSession, index_dir: str,
     champions job re-reading and re-decoding the segments table); the
     combined frame is persisted once, split into the two tables, and
     unpersisted. The fast-field sidecar (independent: docmeta only) runs
-    concurrently on a second driver thread and back-fills task slots."""
+    concurrently on a second driver thread and back-fills task slots.
+
+    `postings_df` (optional) feeds the encode shuffle from an in-flight
+    posting lineage instead of the written postings/ parquet — the builder
+    passes its invert lineage so the salted postings WRITE leaves the
+    critical path (it proceeds on a sibling thread). Output is
+    bit-identical either way: the shuffle's partition assignment is a pure
+    hash of (shard, xxhash64(field, term) % ENC_SALT), and the encoder
+    sorts each partition on the unique (shard, field, term, doc_id) key,
+    so input partitioning cannot change a single byte."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import StorageLevel
 
     from cantine_spark.build.champions import champion_cap
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = (postings_df if postings_df is not None else
+                spark.read.parquet(os.path.join(index_dir, "postings")))
     if n_docs is None:
         n_docs = fsutil.read_json(
             fsutil.join(index_dir, "manifest.json"))["n_docs"]

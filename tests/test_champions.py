@@ -109,6 +109,35 @@ def test_fused_equals_standalone_sidecar(spark, index_dir, tmp_path):
     shutil.copytree(keep, champ)  # restore for other session-scoped suites
 
 
+def test_segments_from_lineage_equals_parquet(spark, champ_idx, tmp_path):
+    """r7 overlap: build_segments fed an in-flight postings DataFrame
+    (builder passes its invert lineage so the salted postings write leaves
+    the critical path) must produce BIT-EQUAL segments + champions tables
+    to the parquet-read path, regardless of input partitioning — the
+    encode shuffle re-keys by a pure hash and sorts on the unique
+    (shard, field, term, doc_id) key."""
+    import shutil
+
+    d2 = str(tmp_path / "lineage_idx")
+    shutil.copytree(champ_idx, d2)
+    shutil.rmtree(os.path.join(d2, "segments"))
+    shutil.rmtree(os.path.join(d2, "champions"))
+    # adversarial input layout: different partition count AND ordering
+    # from both the builder lineage and the parquet read
+    src = (spark.read.parquet(os.path.join(champ_idx, "postings"))
+           .repartition(7).sortWithinPartitions("doc_id"))
+    build_segments(spark, d2, shard_span=300, postings_df=src)
+    for table, keys in (("segments", ["shard", "field", "term", "block_id"]),
+                        ("champions", ["field", "term", "shard"])):
+        a = (spark.read.parquet(os.path.join(champ_idx, table))
+             .toPandas().sort_values(keys).reset_index(drop=True))
+        b = (spark.read.parquet(os.path.join(d2, table))
+             .toPandas().sort_values(keys)[a.columns].reset_index(drop=True))
+        assert len(a) == len(b) and len(a) > 0
+        for c in a.columns:
+            assert a[c].equals(b[c]), f"{table}.{c} differs"
+
+
 def test_champion_rows_are_true_tfnorm_heads(spark, champ_idx):
     """For a hot (field, term, shard): the stored head IS the top-C by
     build tfnorm over that shard's postings, complete groups store
